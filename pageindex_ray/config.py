@@ -1,0 +1,51 @@
+"""Engine configuration.
+
+Reference analogue: pageindex/config.yaml + ConfigLoader
+(/root/reference/pageindex/utils.py:613-644) — YAML defaults merged with user
+overrides, unknown keys rejected. Here a frozen dataclass plays that role;
+``BuildConfig.with_overrides`` raises on unknown keys just like the
+reference's ConfigLoader (utils.py:624-627).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    # BM25 parameters (Okapi; idf = ln((N - df + 0.5)/(df + 0.5) + 1))
+    k1: float = 1.5
+    b: float = 0.75
+
+    # Number of term-hash partitions for the posting shuffle. The analogue of
+    # the reference's token-budget grouping (page_index.py:418-451): it bounds
+    # the unit of parallel work. Scaled with CPU count by the caller.
+    num_partitions: int = 32
+
+    # Posting-block size (docs per compressed block, per-block max-score).
+    block_size: int = 128
+
+    # Terms whose df exceeds this fraction of N are salted across
+    # ``salt_factor`` sub-partitions during the shuffle (Zipf hot terms).
+    hot_df_ratio: float = 0.10
+    salt_factor: int = 8
+
+    # Tokenizer map_batches sizing: posting emission expands rows ~10-60x,
+    # so the input batch is kept moderate (SURVEY.md §4.1 memory row).
+    tokenize_batch_size: int = 4096
+
+    # Query engine
+    top_k: int = 10
+    num_query_shards: int = 8
+
+    def with_overrides(self, **kw) -> "BuildConfig":
+        known = {f.name for f in dataclasses.fields(self)}
+        unknown = set(kw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = BuildConfig()

@@ -1,0 +1,168 @@
+"""build_index: the end-to-end index build pipeline.
+
+Reference analogue: ``page_index_main`` + ``tree_parser``
+(/root/reference/pageindex/page_index.py:1058-1098, 1021-1055) — but where the
+reference loads one whole document into driver memory and runs a sequential
+strategy cascade, this build is a streaming Ray Data pipeline:
+
+    read_parquet(transcripts)                       [streaming source]
+      -> groupby(conv_id) count                     [tiny shuffle: conv offsets]
+      -> map_batches(DocMapper)  -> docmap parquet  [stateless, broadcast join]
+      -> aggregate: N, sum(doc_len) -> avgdl        [tiny]
+      -> map_batches(PostingEmitter)                [actor pool, ~10-60x expand]
+      -> groupby("part").map_groups(assemble)       [THE shuffle]
+      -> postings/part-*.parquet + _meta lineage    [atomic, resumable]
+      -> meta.json + _SUCCESS
+
+Resumable from checkpoint (north_rule): completed partitions (validated
+lineage) are skipped BEFORE the shuffle; `_SUCCESS` is written only when all
+partitions commit — the analogue of the reference's verify-then-accept gate
+(page_index.py:978-980), with determinism replacing sampled LLM verification.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from functools import partial
+
+import ray
+import ray.data
+
+from ..config import DEFAULT, BuildConfig
+from ..stages.docmap import DocMapper, compute_conv_offsets
+from ..stages.postings import (
+    PostingEmitter,
+    assemble_partition,
+    scan_completed_partitions,
+    stats_fingerprint,
+)
+
+
+def build_index(
+    transcripts_path: str | list[str],
+    index_dir: str,
+    cfg: BuildConfig = DEFAULT,
+) -> dict:
+    """Build (or resume) the inverted index. Returns a build report dict."""
+    t_start = time.perf_counter()
+    os.makedirs(index_dir, exist_ok=True)
+
+    ds = ray.data.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+
+    # --- stable addressing -------------------------------------------------
+    offsets = compute_conv_offsets(ds)
+    n_docs = offsets["n_docs"]
+    offsets_ref = ray.put(offsets)
+
+    # Persist the conv->base table: the query engine inverts doc_id back to
+    # (conv_id, turn_idx) with a searchsorted over these bases.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    off_tmp = os.path.join(index_dir, ".conv_offsets.tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(offsets["conv_ids"], type=pa.string()),
+                "base": pa.array(offsets["bases"], type=pa.int64()),
+            }
+        ),
+        off_tmp,
+    )
+    os.replace(off_tmp, os.path.join(index_dir, "conv_offsets.parquet"))
+
+    # --- docmap + corpus stats --------------------------------------------
+    docmap_dir = os.path.join(index_dir, "docmap")
+    docmap_marker = os.path.join(index_dir, "_meta", "docmap.json")
+    docmap_ds = ds.map_batches(
+        DocMapper,
+        fn_constructor_args=(offsets_ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+    need_docmap = True
+    if os.path.exists(docmap_marker):
+        with open(docmap_marker) as f:
+            dm = json.load(f)
+        if dm.get("n_docs") == n_docs:
+            need_docmap = False
+            total_tokens = dm["total_tokens"]
+    if need_docmap:
+        import shutil
+
+        if os.path.isdir(docmap_dir):
+            shutil.rmtree(docmap_dir)
+        docmap_ds.write_parquet(docmap_dir)
+        total_tokens = int(ray.data.read_parquet(docmap_dir, columns=["doc_len"]).sum("doc_len"))
+        os.makedirs(os.path.dirname(docmap_marker), exist_ok=True)
+        with open(docmap_marker, "w") as f:
+            json.dump({"n_docs": n_docs, "total_tokens": total_tokens}, f)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    # --- posting shuffle (resumable) --------------------------------------
+    fingerprint = stats_fingerprint(n_docs, avgdl, cfg)
+    completed = scan_completed_partitions(index_dir, fingerprint)
+    built_now = 0
+    if len(completed) < cfg.num_partitions:
+        postings = ds.map_batches(
+            PostingEmitter,
+            fn_constructor_args=(offsets_ref, cfg.num_partitions, frozenset(completed)),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=(1, 16),
+        )
+        assembler = partial(
+            assemble_partition,
+            index_dir=index_dir,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            k1=cfg.k1,
+            b=cfg.b,
+            block_size=cfg.block_size,
+            fingerprint=fingerprint,
+        )
+        lineage = (
+            postings.groupby("part")
+            .map_groups(assembler, batch_format="pandas")
+            .to_pandas()
+        )
+        built_now = len(lineage)
+
+    # A partition with zero terms writes no file; record which parts exist so
+    # the query engine can distinguish "empty partition" from "missing".
+    present = sorted(scan_completed_partitions(index_dir, fingerprint))
+    meta = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "fingerprint": fingerprint,
+        "parts_present": present,
+        "config": asdict(cfg),
+    }
+    tmp = os.path.join(index_dir, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+
+    wall = time.perf_counter() - t_start
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "num_partitions": cfg.num_partitions,
+        "partitions_built": built_now,
+        "partitions_skipped": len(completed),
+        "wall_s": wall,
+        "turns_per_sec": n_docs / wall if wall > 0 else float("inf"),
+        "index_dir": index_dir,
+    }
+
+
+def load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)

@@ -1,0 +1,133 @@
+"""Posting-list compression: delta + varint (PForDelta-style) blocks with
+per-block max-score metadata (north_star requirement).
+
+The reference persists its index as nested JSON trees
+(/root/reference/run_pageindex.py:42-46); at 10^12-turn scale posting lists
+must be compressed binary. Format per term:
+
+    blocks: list of {first_doc_id, count, max_score, deltas, tfs, dls}
+
+- ``deltas``  : varint(diff(doc_ids)) — count-1 values; doc_ids rebuilt with
+                cumsum from ``first_doc_id``.
+- ``tfs``     : varint(term frequencies), count values.
+- ``dls``     : varint(doc lengths), count values. Storing dl per posting
+                makes a block fully self-scoring — no N-sized doc-length
+                broadcast at query time, which is what makes the
+                term-partitioned layout viable at 10^12 docs (a global
+                doclens array would be terabytes).
+- ``max_score``: exact float64 max of the BM25 contribution of the block's
+                postings for this term (idf baked in at build). Used by
+                block-max WAND as a pruning upper bound only — never for
+                ranking — so pruning can't perturb rank-identity.
+
+Encode/decode are numpy-vectorized (no per-value Python loop): byte widths
+via threshold sums, scatter/gather per byte position (<=10 passes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]  # 2^7 .. 2^63
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array, vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= np.uint64(t)).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        pos = starts[mask] + j
+        byte = (v[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[pos] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` LEB128 values, vectorized."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    is_end = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    if len(ends) != count:
+        raise ValueError(f"varint stream has {len(ends)} values, expected {count}")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(count, dtype=np.uint64)
+    nbytes = ends - starts + 1
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        vals[mask] |= (raw[starts[mask] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    idf: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int = 128,
+) -> list[dict]:
+    """Split one term's postings (doc_id ascending) into compressed blocks.
+
+    max_score is the exact float64 max of idf*(k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl))
+    over the block — a true upper bound for WAND pruning.
+    """
+    n = len(doc_ids)
+    blocks = []
+    tf_f = tfs.astype(np.float64)
+    dl_f = dls.astype(np.float64)
+    scores = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        ids = doc_ids[s:e]
+        blocks.append(
+            {
+                "first_doc_id": int(ids[0]),
+                "count": int(e - s),
+                "max_score": float(scores[s:e].max()),
+                "deltas": varint_encode(np.diff(ids)),
+                "tfs": varint_encode(tfs[s:e]),
+                "dls": varint_encode(dls[s:e]),
+            }
+        )
+    return blocks
+
+
+def decode_posting_blocks(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of encode: -> (doc_ids, tfs, dls), concatenated over blocks."""
+    all_ids, all_tfs, all_dls = [], [], []
+    for blk in blocks:
+        c = blk["count"]
+        deltas = varint_decode(blk["deltas"], c - 1).astype(np.int64)
+        ids = np.empty(c, dtype=np.int64)
+        ids[0] = blk["first_doc_id"]
+        if c > 1:
+            np.cumsum(deltas, out=ids[1:])
+            ids[1:] += blk["first_doc_id"]
+        all_ids.append(ids)
+        all_tfs.append(varint_decode(blk["tfs"], c).astype(np.int64))
+        all_dls.append(varint_decode(blk["dls"], c).astype(np.int64))
+    if not all_ids:
+        return (np.empty(0, np.int64),) * 3
+    return np.concatenate(all_ids), np.concatenate(all_tfs), np.concatenate(all_dls)
+
+
+def decode_single_block(blk: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return decode_posting_blocks([blk])

@@ -1,0 +1,119 @@
+"""Oracle conformance: the distributed engine must be rank-identical to the
+single-process BM25 oracle on the fixed query set (FIXTURES.md F3), with
+scores equal to 1e-9 rel tol — the analogue of the reference's golden
+results-original/ corpus (SURVEY.md §5)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from pageindex_ray.oracle.bm25 import topk, topk_conversations
+from pageindex_ray.tokenizer import tokenize
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, built_index):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    eng = SearchEngine(built_index["index_dir"], num_shards=4)
+    yield eng
+    eng.shutdown()
+
+
+def _queries(built_index):
+    t = pq.read_table(built_index["queries"])
+    return list(zip(t.column("query_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_docmap_invariants(built_index, oracle_index):
+    """input_hint invariant: per-turn text equality under stable turn ordering.
+    docmap ordered by doc_id reproduces the sorted input's doc_len sequence."""
+    import pyarrow.dataset as pads
+
+    dm = pads.dataset(built_index["index_dir"] + "/docmap").to_table()
+    order = np.argsort(dm.column("doc_id").to_numpy())
+    doc_lens = dm.column("doc_len").to_numpy()[order]
+    assert len(doc_lens) == oracle_index.N
+    assert np.array_equal(doc_lens, oracle_index.doclens)
+    turn = dm.column("turn_idx").to_numpy()[order]
+    assert np.array_equal(turn, oracle_index.turn_idx)
+
+
+def test_stats_match(built_index, oracle_index):
+    from pageindex_ray.pipelines.build import load_meta
+
+    meta = load_meta(built_index["index_dir"])
+    assert meta["n_docs"] == oracle_index.N
+    assert meta["avgdl"] == pytest.approx(oracle_index.avgdl, rel=1e-12)
+
+
+def test_topk_rank_identical_turn(engine, built_index, oracle_index):
+    nonempty = 0
+    for qid, qtext in _queries(built_index):
+        golden = topk(oracle_index, qtext, k=10)
+        got = engine.search(qtext, k=10, granularity="turn", use_wand=False)
+        assert [r["doc_id"] for r in got] == [g[1] for g in golden], (qid, qtext)
+        for r, g in zip(got, golden):
+            assert r["score"] == pytest.approx(g[2], rel=1e-9)
+        nonempty += bool(golden)
+    assert nonempty >= 30  # the query set is not degenerate
+
+
+def test_topk_wand_identical_to_exhaustive(engine, built_index, oracle_index):
+    """WAND pruning must never change the top-k (SURVEY.md §5.2)."""
+    for qid, qtext in _queries(built_index):
+        golden = topk(oracle_index, qtext, k=10)
+        got = engine.search(qtext, k=10, granularity="turn", use_wand=True)
+        assert [r["doc_id"] for r in got] == [g[1] for g in golden], (qid, qtext)
+        for r, g in zip(got, golden):
+            assert r["score"] == g[2], (qid, qtext)  # bit-identical floats
+
+
+def test_topk_conversation_granularity(engine, built_index, oracle_index):
+    for qid, qtext in _queries(built_index):
+        golden = topk_conversations(oracle_index, qtext, k=10)
+        got = engine.search(qtext, k=10, granularity="conv")
+        assert [r["conv_id"] for r in got] == [g[1] for g in golden], (qid, qtext)
+        for r, g in zip(got, golden):
+            assert r["score"] == pytest.approx(g[2], rel=1e-9)
+
+
+def test_search_batch_matches_single(engine, built_index):
+    qs = _queries(built_index)[:10]
+    batch = engine.search_batch(qs, k=10).to_pylist()
+    singles = []
+    for qid, qtext in qs:
+        for r in engine.search(qtext, k=10):
+            singles.append((qid, r["rank"], r["doc_id"]))
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in batch] == singles
+
+
+def test_absent_term_query_empty(engine):
+    assert engine.search("zzzabsentterm", k=10) == []
+
+
+def test_posting_sample_verification(built_index, oracle_index):
+    """FIXTURES.md F6: sampled postings re-verified against source turns —
+    the deterministic analogue of the reference's verify_toc
+    (/root/reference/pageindex/page_index.py:892-944); pass rate must be 1.0."""
+    import pyarrow.dataset as pads
+
+    table = pads.dataset(built_index["index_dir"] + "/postings").to_table()
+    src = pq.read_table(built_index["transcripts"])
+    conv = np.asarray(src.column("conv_id").to_pylist(), dtype=object)
+    turn = np.asarray(src.column("turn_idx").to_pylist(), dtype=np.int64)
+    texts = src.column("text").to_pylist()
+    order = np.lexsort((turn, conv))
+    sorted_texts = [texts[i] for i in order]
+
+    from pageindex_ray.stages.codec import decode_posting_blocks
+
+    rng = np.random.default_rng(123)
+    rows = table.to_pylist()
+    sample = rng.choice(len(rows), size=min(200, len(rows)), replace=False)
+    for i in sample:
+        row = rows[int(i)]
+        ids, tfs, _ = decode_posting_blocks(row["blocks"])
+        j = int(rng.integers(0, len(ids)))
+        toks = tokenize(sorted_texts[int(ids[j])])
+        assert toks.count(row["term"]) == int(tfs[j])

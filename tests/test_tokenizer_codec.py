@@ -1,0 +1,77 @@
+"""Unit tests: shared tokenizer, varint/delta codec (FIXTURES.md F4)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pageindex_ray.stages.codec import (
+    decode_posting_blocks,
+    encode_posting_blocks,
+    varint_decode,
+    varint_encode,
+)
+from pageindex_ray.tokenizer import SQL_TOKENIZE, tokenize, tokenize_batch
+
+
+def test_tokenize_basic():
+    assert tokenize("Hello, World foo-bar") == ["hello", "world", "foo", "bar"]
+    assert tokenize("") == []
+    assert tokenize("  ...  ") == []
+    assert tokenize("A1b2 C3") == ["a1b2", "c3"]
+
+
+def test_tokenize_matches_duckdb():
+    """The engine tokenizer and the oracle-SQL tokenizer must agree exactly."""
+    samples = [
+        "Hello, World foo-bar",
+        "the quick BROWN fox!! 42 times",
+        "",
+        "...",
+        "MiXeD CaSe with-hyphens and_underscores 0x1f",
+    ]
+    con = duckdb.connect()
+    for s in samples:
+        sql = f"select {SQL_TOKENIZE.format(col='?')}"
+        got = con.execute(sql, [s]).fetchone()[0]
+        assert got == tokenize(s), s
+
+
+def test_tokenize_batch_flattening():
+    flat, lens = tokenize_batch(["a b", "", "C d e"])
+    assert list(flat) == ["a", "b", "c", "d", "e"]
+    assert list(lens) == [2, 0, 3]
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 129, 10_000])
+def test_varint_roundtrip(n):
+    rng = np.random.default_rng(n + 7)
+    vals = rng.integers(0, 2**32, n, dtype=np.uint64)
+    # include boundary values
+    if n >= 4:
+        vals[0], vals[1], vals[2], vals[3] = 0, 127, 128, 2**63 - 1
+    assert np.array_equal(varint_decode(varint_encode(vals), n), vals)
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 5000])
+def test_posting_blocks_roundtrip(n):
+    rng = np.random.default_rng(n)
+    gaps = rng.integers(1, 2**20, n, dtype=np.int64)
+    doc_ids = np.cumsum(gaps)
+    tfs = rng.integers(1, 50, n, dtype=np.int64)
+    dls = rng.integers(1, 200, n, dtype=np.int64)
+    idf, k1, b, avgdl = 2.5, 1.5, 0.75, 40.0
+    blocks = encode_posting_blocks(doc_ids, tfs, dls, idf, k1, b, avgdl, block_size=128)
+    rids, rtfs, rdls = decode_posting_blocks(blocks)
+    assert np.array_equal(rids, doc_ids)
+    assert np.array_equal(rtfs, tfs)
+    assert np.array_equal(rdls, dls)
+    # per-block invariants: first_doc_id matches head; max_score bounds members
+    tf_f, dl_f = tfs.astype(float), dls.astype(float)
+    scores = idf * tf_f * (k1 + 1) / (tf_f + k1 * (1 - b + b * dl_f / avgdl))
+    pos = 0
+    for blk in blocks:
+        c = blk["count"]
+        assert blk["first_doc_id"] == doc_ids[pos]
+        assert blk["max_score"] >= scores[pos : pos + c].max() - 1e-12
+        pos += c
+    assert pos == n
