@@ -1,44 +1,522 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the pageindex_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes each implemented operator/pipeline from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL. The transcript corpus (the
+engine's primary input, BASELINE.json input_hint) is synthesized
+deterministically to /tmp at import time so the SQL oracles can read the
+exact same parquet the Ray pipelines consume (TESTDATA tables have no
+transcripts table; documents/embeddings/lineitem/... are used directly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float policy for driver value-hash parity: results contain only ints,
+strings, and float values produced by bit-identical expressions on both
+sides (single divisions, not order-dependent float sums); monetary
+aggregates use exact integer cents. BM25 ranks are compared as ints
+(query_id, rank, doc_id); score precision is covered by pytest against the
+golden oracle at 1e-9 rel tol (FIXTURES.md F3).
+
+No ray.init / ray.shutdown anywhere in this module or the library.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from pageindex_ray.sources.transcripts import ensure_corpus, queries_path, transcripts_path
+from pageindex_ray.tokenizer import SQL_TOKENIZE
+
+# Materialize the corpora the driver will touch (cheap, idempotent, no Ray).
+for _sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    ensure_corpus(_sf)
+
+_INDEX_ROOT = "/tmp/pageindex_ray_index"
+
+
+def _index_dir(sf_dir: str) -> str:
+    return os.path.join(_INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _ensure_index(sf_dir: str):
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+
+    tpath, _ = ensure_corpus(sf_dir)
+    idx = _index_dir(sf_dir)
+    cfg = BuildConfig(num_partitions=16)
+    build_index(tpath, idx, cfg)  # resumable: completed partitions are skipped
+    return idx
+
+
+def _load_queries(sf_dir: str) -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    _, qpath = ensure_corpus(sf_dir)
+    t = pq.read_table(qpath)
+    return list(zip(t.column("query_id").to_pylist(), t.column("text").to_pylist()))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline (smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Build the inverted index over the sf0.001 transcripts and run the
+    fixed BM25 query set; returns the top-k result table."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _ensure_index(sf_dir)
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    eng = SearchEngine(idx, num_shards=4)
+    try:
+        return eng.search_batch(_load_queries(sf_dir), k=10).to_pandas()
+    finally:
+        eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# queries: one entry per operator/pipeline
+# ---------------------------------------------------------------------------
+
+def _q_docmap(sf_dir: str):
+    import ray
+    import ray.data
+
+    from pageindex_ray.stages.docmap import DocMapper, compute_conv_offsets
+
+    tpath, _ = ensure_corpus(sf_dir)
+    ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+    offsets_ref = ray.put(compute_conv_offsets(ds))
+    return ds.map_batches(
+        DocMapper,
+        fn_constructor_args=(offsets_ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+
+
+def _q_corpus_stats(sf_dir: str):
+    import pandas as pd
+
+    from pageindex_ray.pipelines.build import load_meta
+
+    idx = _ensure_index(sf_dir)
+    meta = load_meta(idx)
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": meta["n_docs"],
+                "total_tokens": meta["total_tokens"],
+                "avgdl": meta["total_tokens"] / meta["n_docs"],
+            }
+        ]
+    )
+
+
+def _q_term_stats(sf_dir: str):
+    import ray.data
+
+    idx = _ensure_index(sf_dir)
+    return ray.data.read_parquet(os.path.join(idx, "postings"), columns=["term", "df", "cf"])
+
+
+def _q_bm25_topk(sf_dir: str):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        out = eng.search_batch(_load_queries(sf_dir), k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def _q_bm25_conv_topk(sf_dir: str):
+    import pyarrow as pa
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        rows = {"query_id": [], "rank": [], "conv_id": []}
+        for qid, qtext in _load_queries(sf_dir):
+            for r in eng.search(qtext, k=10, granularity="conv"):
+                rows["query_id"].append(qid)
+                rows["rank"].append(r["rank"])
+                rows["conv_id"].append(r["conv_id"])
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "rank": pa.array(rows["rank"], type=pa.int32()),
+                "conv_id": pa.array(rows["conv_id"], type=pa.string()),
+            }
+        )
+    finally:
+        eng.shutdown()
+
+
+def _q_role_stats(sf_dir: str):
+    from pageindex_ray.pipelines.textstats import transcripts_role_stats
+
+    return transcripts_role_stats(sf_dir)
+
+
+def _q_doc_tokens(sf_dir: str):
+    from pageindex_ray.pipelines.textstats import documents_tokens
+
+    return documents_tokens(sf_dir)
+
+
+def _q_doc_quality(sf_dir: str):
+    from pageindex_ray.pipelines.textstats import documents_quality
+
+    return documents_quality(sf_dir)
+
+
+def _q_doc_langid(sf_dir: str):
+    from pageindex_ray.pipelines.textstats import documents_langid
+
+    return documents_langid(sf_dir)
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from pageindex_ray.pipelines.textstats import documents_fingerprint
+
+    return documents_fingerprint(sf_dir).select_columns(["doc_id", "fp"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from pageindex_ray.pipelines.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from pageindex_ray.pipelines.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return minhash_dedup(ds, jaccard_threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from pageindex_ray.pipelines.dedup import simhash_candidates
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return simhash_candidates(ds)
+
+
+def _embedding_queries(sf_dir: str, n: int = 5):
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.filter(pc.less(t.column("vec_id"), n)).sort_by("vec_id")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    return ids, mat
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import brute_force_ann
+
+    ids, mat = _embedding_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return brute_force_ann(ds, ids, mat, k=10).select(["query_id", "rank", "vec_id"])
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import ivf_ann
+
+    ids, mat = _embedding_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return ivf_ann(ds, ids, mat, k=10)
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data
+
+    from pageindex_ray.pipelines.multimodal import multimodal_features
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return multimodal_features(ds).select_columns(["doc_id", "n_bytes", "payload_md5"])
+
+
+def _q_q1(sf_dir: str):
+    from pageindex_ray.pipelines.relational import q1_pricing
+
+    return q1_pricing(sf_dir)
+
+
+def _q_top_orders(sf_dir: str):
+    from pageindex_ray.pipelines.relational import top_revenue_orders
+
+    return top_revenue_orders(sf_dir)
+
+
+def _q_customer_rollup(sf_dir: str):
+    from pageindex_ray.pipelines.relational import customer_nation_rollup
+
+    return customer_nation_rollup(sf_dir)
+
+
+def _q_events_sessions(sf_dir: str):
+    from pageindex_ray.pipelines.relational import events_sessions
+
+    return events_sessions(sf_dir)
+
+
+def _q_events_by_type(sf_dir: str):
+    from pageindex_ray.pipelines.relational import events_by_type
+
+    return events_by_type(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "docmap": _q_docmap,
+        "corpus_stats": _q_corpus_stats,
+        "term_stats": _q_term_stats,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_conv_topk": _q_bm25_conv_topk,
+        "role_stats": _q_role_stats,
+        "doc_tokens": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "multimodal_meta": _q_multimodal,
+        "q1_pricing": _q_q1,
+        "top_revenue_orders": _q_top_orders,
+        "customer_rollup": _q_customer_rollup,
+        "events_sessions": _q_events_sessions,
+        "events_by_type": _q_events_by_type,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered for the testdata tables;
+# transcripts/queries are read via read_parquet on the synthesized files)
+# ---------------------------------------------------------------------------
+
+_SF01 = "/root/testdata/sf0.01"
+_TPATH = transcripts_path(_SF01)
+_QPATH = queries_path(_SF01)
+_TOKS = SQL_TOKENIZE.format(col="text")
+
+_STOP_SQL = "['the','of','and','to','a','in','is','it','you','that','he','was','for','on','are','with','as','his','they','be','at','one','have','this','from','or','had','by','word','but','what','some','we','can','out','other','were','all','there','when','up','use','your','how','said','an','each','she']"
+
+_BM25_CORE = f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT conv_id, turn_idx, toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(conv_id) AS conv_id, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), scored AS (
+  SELECT q.query_id, tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+"""
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "docmap": f"""
+            SELECT conv_id, turn_idx,
+                   (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS doc_len
+            FROM read_parquet('{_TPATH}')
+        """,
+        "corpus_stats": f"""
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+                   CAST(sum(len({_TOKS})) AS DOUBLE) / count(*) AS avgdl
+            FROM read_parquet('{_TPATH}')
+        """,
+        "term_stats": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKS}) AS term, conv_id, turn_idx
+              FROM read_parquet('{_TPATH}')
+            )
+            SELECT term,
+                   CAST(count(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS cf
+            FROM tok GROUP BY term
+        """,
+        "bm25_topk": _BM25_CORE + """
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+                   doc_id
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "bm25_conv_topk": _BM25_CORE + """
+            , conv AS (
+              SELECT query_id, conv_id, sum(score) AS cscore
+              FROM (SELECT * FROM scored ORDER BY doc_id) GROUP BY query_id, conv_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, conv_id ASC) - 1 AS INTEGER) AS rank,
+                   conv_id
+            FROM conv
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, conv_id ASC) <= 10
+        """,
+        "role_stats": f"""
+            SELECT role,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS sum_tokens,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM read_parquet('{_TPATH}')
+            GROUP BY role
+        """,
+        "doc_tokens": f"""
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stopwords,
+                   CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+                   CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / greatest(len(toks), 1) AS mean_tok_len
+            FROM t
+        """,
+        "doc_langid": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), r AS (
+              SELECT doc_id, len(toks) AS nt,
+                     CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / greatest(len(toks), 1) AS ratio
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN nt = 0 THEN 'und' WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+            FROM r
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS fp
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) - 1 AS INTEGER) AS rank,
+                   vec_id
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT r.l_orderkey, r.revenue_cents, o.o_custkey
+            FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+            ORDER BY r.revenue_cents DESC, r.l_orderkey ASC
+            LIMIT 10
+        """,
+        "customer_rollup": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), m AS (
+              SELECT user_id,
+                     CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM e
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions
+            FROM m GROUP BY user_id
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        # dedup_minhash, dedup_simhash, ann_ivf: not SQL-expressible
+        # (seeded sketch families / probed clustering) -> rows-only checks;
+        # their correctness is covered by pytest (planted-duplicate fixtures,
+        # recall vs brute force).
+    }

@@ -1,0 +1,169 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ..., "query_p50_ms": ...}
+
+--scaling: runs the identical job in two fresh processes (num_cpus=8 and 32)
+on the same input and reports both throughputs + scaling efficiency
+(BASELINE.md protocol: (tps_hi / tps_lo) / (cpus_hi / cpus_lo) >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.search import SearchEngine
+    from pageindex_ray.sources.transcripts import ensure_corpus
+
+    timings: dict[str, float] = {}
+    tpath, qpath = ensure_corpus(sf_dir)  # untimed: corpus synth + cache warm
+    with open(tpath, "rb") as f:  # warm page cache so we time compute, not I/O
+        f.read()
+
+    # fresh build (never resume) for honest throughput
+    index_dir = f"/tmp/pageindex_ray_bench/idx-{os.path.basename(os.path.normpath(sf_dir))}-{num_cpus}"
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    cfg = BuildConfig(num_partitions=max(2 * num_cpus, 16))
+    t0 = time.perf_counter()
+    report = build_index(tpath, index_dir, cfg)
+    timings["build_index"] = time.perf_counter() - t0
+    n_docs = report["n_docs"]
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(qpath)
+    queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+
+    t0 = time.perf_counter()
+    eng = SearchEngine(index_dir, num_shards=min(8, num_cpus))
+    timings["engine_warmup"] = time.perf_counter() - t0
+
+    # batch throughput over the fixed query set
+    t0 = time.perf_counter()
+    eng.search_batch(queries, k=10)
+    timings["bm25_query_batch"] = time.perf_counter() - t0
+
+    # per-query latency distribution (warm shards)
+    lat = []
+    for _, qtext in queries:
+        t0 = time.perf_counter()
+        eng.search(qtext, k=10)
+        lat.append(time.perf_counter() - t0)
+    p50_ms = statistics.median(lat) * 1000
+    timings["bm25_query_p50"] = p50_ms / 1000
+    eng.shutdown()
+
+    # secondary pipelines at the same scale
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import brute_force_ann
+    from pageindex_ray.pipelines.dedup import exact_dedup
+    from pageindex_ray.pipelines.relational import q1_pricing
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    exact_dedup(ds).count()
+    timings["dedup_exact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    import numpy as np
+    import pyarrow.compute as pc
+
+    et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qrows = et.filter(pc.less(et.column("vec_id"), 5)).sort_by("vec_id")
+    ids = np.asarray(qrows.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.stack(qrows.column("embedding").to_pylist()).astype(np.float64)
+    eds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    brute_force_ann(eds, ids, mat, k=10)
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    q1_pricing(sf_dir)
+    timings["q1_pricing"] = time.perf_counter() - t0
+
+    ray.shutdown()
+
+    total = sum(timings.values())
+    return {
+        "metric": "index_build_plus_query_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "n_turns": n_docs,
+        "turns_per_sec": round(n_docs / timings["build_index"], 1),
+        "query_p50_ms": round(p50_ms, 3),
+    }
+
+
+def run_subprocess(sf_dir: str, ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo_cpus, hi_cpus = 8, 32
+        lo = run_subprocess(sf_dir, lo_cpus)
+        hi = run_subprocess(sf_dir, hi_cpus)
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_cpus / lo_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sf": lo["sf"],
+                    "turns_per_sec_8": lo["turns_per_sec"],
+                    "turns_per_sec_32": hi["turns_per_sec"],
+                    "build_sec_8": lo["queries"]["build_index"],
+                    "build_sec_32": hi["queries"]["build_index"],
+                    "query_p50_ms_8": lo["query_p50_ms"],
+                    "query_p50_ms_32": hi["query_p50_ms"],
+                }
+            )
+        )
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Relational operator demos over the TPC-H-ish test tables.
+
+These exercise the generic engine surface (filter, projection, partial
+aggregation, broadcast join, sort/top-k, windowed grouping) against exact
+DuckDB SQL oracles.
+
+Float policy: monetary sums use exact integer-cent arithmetic
+(``floor(x*100 + 0.5)`` per row, identical expression in SQL) so distributed
+aggregation order cannot perturb the result — a groupby SUM of float64 is
+order-dependent in the last ulp, int64 is not. (The analogue of pinning the
+accumulation order for BM25 scores, SURVEY.md §7.3.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))).cast(pa.int64())
+
+
+def q1_pricing(sf_dir: str) -> pa.Table:
+    """Pricing summary per (returnflag, linestatus): partial per-batch
+    aggregation inside map_batches, then a tiny final groupby (the
+    combiner-then-shuffle pattern, SURVEY.md §2.6 A6)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": _cents(batch.column("l_quantity")),
+                "base_c": _cents(batch.column("l_extendedprice")),
+                "disc_c": _cents(disc_price),
+            }
+        )
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty_cents=("qty_c", "sum"),
+                sum_base_cents=("base_c", "sum"),
+                sum_disc_cents=("disc_c", "sum"),
+                partial_count=("qty_c", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("partial_count", alias_name="count_order"),
+        )
+    )
+    return out.to_pandas().pipe(pa.Table.from_pandas, preserve_index=False)
+
+
+def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k orders by discounted revenue; broadcast-join order metadata onto
+    the tiny top-k result (never a full shuffle join for a k-row lookup)."""
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(rev)})
+        df = t.to_pandas().groupby("l_orderkey", sort=False).agg(rev_c=("rev_c", "sum")).reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (
+        li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+    # k-row lookup side: read only the needed order rows (predicate pushdown)
+    keys = top["l_orderkey"].tolist()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("o_orderkey"), pa.array(keys))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    merged = top.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    merged = merged.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="stable"
+    )[["l_orderkey", "revenue_cents", "o_custkey"]]
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def customer_nation_rollup(sf_dir: str) -> pa.Table:
+    """customer ⋈ nation ⋈ region rollup via broadcast hash join: the dim
+    tables are ray.put once and looked up per batch (SURVEY.md §2.5 J1)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dict(zip(dim["n_nationkey"], zip(dim["n_name"], dim["r_name"]))))
+
+    class Annotate:
+        def __init__(self):
+            self.lookup = ray.get(dim_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch.column("c_nationkey").to_numpy()
+            names = [self.lookup[int(x)] for x in nk]
+            t = pa.table(
+                {
+                    "r_name": pa.array([r for _, r in names], type=pa.string()),
+                    "n_name": pa.array([n for n, _ in names], type=pa.string()),
+                    "bal_c": _cents(batch.column("c_acctbal")),
+                }
+            )
+            df = (
+                t.to_pandas()
+                .groupby(["r_name", "n_name"], sort=False)
+                .agg(sum_acctbal_cents=("bal_c", "sum"), n_customers=("bal_c", "size"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey", "c_acctbal"]
+        )
+        .map_batches(Annotate, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4))
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"),
+            Sum("n_customers", alias_name="n_customers"),
+        )
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
+    """Per-user sessionization: sort-within-group + gap rule — the windowed /
+    as-of pattern (sorted ``map_groups``, SURVEY.md §2.5 J3). Exact ints."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        # normalize to ns regardless of the unit pandas picked for the column
+        ts_ns = pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
+        gaps = np.diff(ts_ns, prepend=ts_ns[0] if len(ts_ns) else 0)
+        new_session = gaps > gap_seconds * 1_000_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_session.sum()) + 1 if len(g) else 0],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def events_by_type(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch.column("event_type"), "value_c": _cents(batch.column("value"))}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("value_c", alias_name="sum_value_cents"), Count(alias_name="n_events"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

@@ -1,0 +1,83 @@
+"""Text-analysis pipelines over the documents and transcripts tables."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.text import lang_id, md5_fingerprints, quality_features, rolling_fingerprint, token_counts
+from ..sources.transcripts import ensure_corpus
+
+
+def _documents(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def documents_tokens(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": token_counts(batch.column("text")).cast(pa.int64())}
+        )
+
+    return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def documents_quality(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        out = quality_features(batch)
+        return out.select(["doc_id", "n_chars", "n_tokens", "n_stopwords", "stop_ratio", "mean_tok_len"])
+
+    return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def documents_langid(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        return lang_id(batch).select(["doc_id", "pred_lang"])
+
+    return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def documents_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": md5_fingerprints(batch.column("text")),
+                "rolling_fp": rolling_fingerprint(batch.column("text")),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def transcripts_role_stats(sf_dir: str) -> pa.Table:
+    """Per-role turn counts + token totals over the synthesized transcripts
+    (partial per-batch combine, then a tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    tpath, _ = ensure_corpus(sf_dir)
+    ds = ray.data.read_parquet(tpath, columns=["role", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"role": batch.column("role"), "n_tokens": token_counts(batch.column("text")).cast(pa.int64())}
+        )
+        df = (
+            t.to_pandas()
+            .groupby("role", sort=False)
+            .agg(sum_tokens=("n_tokens", "sum"), n_turns=("n_tokens", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("role")
+        .aggregate(Sum("sum_tokens", alias_name="sum_tokens"), Sum("n_turns", alias_name="n_turns"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

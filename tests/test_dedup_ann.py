@@ -1,0 +1,145 @@
+"""Dedup + ANN pipeline correctness: planted duplicates must be found,
+IVF recall measured against brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pageindex_ray.functions.hashes import MinHasher, jaccard, simhash64
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    """Synthetic docs with planted exact + near duplicates."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(200)]
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(30, 80))
+        texts.append(" ".join(vocab[j] for j in rng.integers(0, len(vocab), n)))
+    # exact duplicates: 60..62 copy 0..2
+    texts += [texts[0], texts[1], texts[2]]
+    # near duplicates: 63..64 = 5/6 with one token changed
+    for src in (5, 6):
+        toks = texts[src].split()
+        toks[3] = "mutated"
+        texts.append(" ".join(toks))
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(table), texts
+
+
+def test_exact_dedup_planted(ray_session, planted_docs):
+    from pageindex_ray.pipelines.dedup import exact_dedup
+
+    ds, texts = planted_docs
+    out = exact_dedup(ds).to_pandas()
+    survivors = set(out["doc_id"])
+    assert len(out) == len(texts) - 3  # three exact copies removed
+    assert {60, 61, 62}.isdisjoint(survivors)
+    assert {0, 1, 2} <= survivors
+
+
+def test_minhash_dedup_planted(ray_session, planted_docs):
+    from pageindex_ray.pipelines.dedup import minhash_dedup
+
+    ds, texts = planted_docs
+    out = minhash_dedup(ds, jaccard_threshold=0.7).to_pandas()
+    canon = dict(zip(out["doc_id"], out["canonical_id"]))
+    # exact copies cluster with their source
+    assert canon[60] == 0 and canon[61] == 1 and canon[62] == 2
+    # near-dups (1-token mutation) cluster too
+    assert canon[63] == 5 and canon[64] == 6
+    # unrelated docs stay singleton
+    assert canon[10] == 10 and canon[20] == 20
+
+
+def test_minhash_estimates_jaccard():
+    """MinHash signature agreement approximates exact shingle Jaccard."""
+    h = MinHasher(num_perm=256)
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(20, 120))
+    sa, sb = h.signature(a), h.signature(b)
+    est = (sa == sb).mean()
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.12
+
+
+def test_simhash_properties(ray_session, planted_docs):
+    from pageindex_ray.functions.hashes import hamming64
+    from pageindex_ray.pipelines.dedup import simhash_candidates
+
+    # identical text -> identical simhash; near-dup -> small hamming
+    ds, texts = planted_docs
+    assert simhash64(texts[0]) == simhash64(texts[60])
+    h1 = np.asarray([simhash64(texts[5])], dtype=np.uint64)
+    h2 = np.asarray([simhash64(texts[63])], dtype=np.uint64)
+    assert hamming64(h1, h2)[0] <= 8
+
+    pairs = simhash_candidates(ds, max_hamming=3).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 60) in got and (1, 61) in got and (2, 62) in got
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import brute_force_ann, ivf_ann
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 32
+    mat = rng.normal(size=(n, d))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([row for row in mat.astype(np.float32)]),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    qids = np.arange(5, dtype=np.int64)
+    qm = mat[:5].astype(np.float64)
+
+    bf = brute_force_ann(ds, qids, qm, k=10).to_pandas()
+    ivf = ivf_ann(ds, qids, qm, k=10, n_clusters=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        truth = set(bf[bf["query_id"] == q]["vec_id"])
+        got = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.6  # nprobe=4/8 clusters: high recall expected
+
+
+def test_brute_force_matches_numpy_oracle(ray_session):
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import brute_force_ann
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([row for row in mat.astype(np.float32)]),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    qids = np.arange(3, dtype=np.int64)
+    # use the same float32-rounded vectors the dataset stores
+    m64 = mat.astype(np.float32).astype(np.float64)
+    qm = m64[:3]
+    out = brute_force_ann(ds, qids, qm, k=5).to_pandas()
+    norms = np.linalg.norm(m64, axis=1)
+    sims = (qm @ m64.T) / (np.linalg.norm(qm, axis=1)[:, None] * norms[None, :])
+    for qi in range(3):
+        row = sims[qi].copy()
+        row[qi] = -np.inf  # exclude self
+        order = np.lexsort((np.arange(n), -row))[:5]
+        got = out[out["query_id"] == qi]["vec_id"].tolist()
+        assert got == order.tolist()

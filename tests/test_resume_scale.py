@@ -1,0 +1,90 @@
+"""Resume (FIXTURES.md F5) and parallelism-invariance (SURVEY.md §5.2) tests."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from pageindex_ray.config import BuildConfig
+from pageindex_ray.pipelines.build import build_index
+
+
+def _postings_content(index_dir):
+    """Order-insensitive logical content of the postings: per-term postings."""
+    from pageindex_ray.stages.codec import decode_posting_blocks
+
+    table = pads.dataset(os.path.join(index_dir, "postings")).to_table()
+    out = {}
+    for row in table.to_pylist():
+        ids, tfs, dls = decode_posting_blocks(row["blocks"])
+        out[row["term"]] = (
+            row["df"],
+            row["cf"],
+            row["idf"],
+            ids.tolist(),
+            tfs.tolist(),
+            dls.tolist(),
+        )
+    return out
+
+
+def test_resume_skips_completed_and_matches(ray_session, tiny_corpus, tmp_path):
+    cfg = BuildConfig(num_partitions=8)
+    full_dir = str(tmp_path / "full")
+    r1 = build_index(tiny_corpus["transcripts"], full_dir, cfg)
+    assert r1["partitions_built"] > 0
+
+    # simulate an interrupted build: delete _SUCCESS + a strict subset of parts
+    os.unlink(os.path.join(full_dir, "_SUCCESS"))
+    removed = 0
+    for pid in (1, 3, 5):
+        shard = os.path.join(full_dir, "postings", f"part-{pid:05d}.parquet")
+        if os.path.exists(shard):
+            os.unlink(shard)
+            removed += 1
+    assert removed > 0
+    golden = None
+    uninterrupted = str(tmp_path / "clean")
+    build_index(tiny_corpus["transcripts"], uninterrupted, cfg)
+    golden = _postings_content(uninterrupted)
+
+    r2 = build_index(tiny_corpus["transcripts"], full_dir, cfg)
+    assert r2["partitions_skipped"] > 0  # valid partitions were not rebuilt
+    assert os.path.exists(os.path.join(full_dir, "_SUCCESS"))
+    assert _postings_content(full_dir) == golden
+
+
+def test_fingerprint_invalidates_on_config_change(ray_session, tiny_corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(tiny_corpus["transcripts"], d, BuildConfig(num_partitions=4))
+    r = build_index(tiny_corpus["transcripts"], d, BuildConfig(num_partitions=4, k1=1.2))
+    # changed scoring config -> nothing skippable, full rebuild
+    assert r["partitions_skipped"] == 0
+
+
+def test_index_content_invariant_to_parallelism(ray_session, tiny_corpus, tmp_path):
+    """Same input at different partition counts / batch sizes -> identical
+    logical postings and identical golden query results."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(tiny_corpus["transcripts"], a, BuildConfig(num_partitions=2, tokenize_batch_size=512))
+    build_index(tiny_corpus["transcripts"], b, BuildConfig(num_partitions=16, tokenize_batch_size=4096))
+
+    ca = {t: v[:3] + tuple(map(tuple, v[3:])) for t, v in _postings_content(a).items()}
+    cb = {t: v[:3] + tuple(map(tuple, v[3:])) for t, v in _postings_content(b).items()}
+    assert ca == cb
+
+    qa = SearchEngine(a, num_shards=2)
+    qb = SearchEngine(b, num_shards=4)
+    qt = pq.read_table(tiny_corpus["queries"])
+    queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+    ra = qa.search_batch(queries, k=10).to_pylist()
+    rb = qb.search_batch(queries, k=10).to_pylist()
+    assert ra == rb
+    qa.shutdown()
+    qb.shutdown()
