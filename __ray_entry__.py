@@ -292,6 +292,24 @@ def _q_events_by_type(sf_dir: str):
     return events_by_type(sf_dir)
 
 
+def _q_conv_fingerprint(sf_dir: str):
+    from pageindex_ray.pipelines.conversations import conv_text_fingerprint
+
+    return conv_text_fingerprint(sf_dir)
+
+
+def _q_conv_summaries(sf_dir: str):
+    from pageindex_ray.pipelines.conversations import conv_summaries
+
+    return conv_summaries(sf_dir)
+
+
+def _q_event_mode(sf_dir: str):
+    from pageindex_ray.pipelines.conversations import event_type_mode
+
+    return event_type_mode(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "docmap": _q_docmap,
@@ -315,6 +333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rollup": _q_customer_rollup,
         "events_sessions": _q_events_sessions,
         "events_by_type": _q_events_by_type,
+        "conv_text_fingerprint": _q_conv_fingerprint,
+        "conv_summaries": _q_conv_summaries,
+        "event_type_mode": _q_event_mode,
     }
 
 
@@ -514,6 +535,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "conv_text_fingerprint": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   md5(string_agg(text, ' ' ORDER BY turn_idx)) AS text_md5
+            FROM read_parquet('{_TPATH}')
+            GROUP BY conv_id
+        """,
+        "conv_summaries": f"""
+            WITH firsts AS (
+              SELECT conv_id, text,
+                     row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM read_parquet('{_TPATH}')
+            )
+            SELECT conv_id,
+                   coalesce(array_to_string(list_slice({_TOKS}, 1, 10), ' '), '') AS summary
+            FROM firsts WHERE rn = 1
+        """,
+        "event_type_mode": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+            ORDER BY n DESC, event_type ASC LIMIT 1
         """,
         # dedup_minhash, dedup_simhash, ann_ivf: not SQL-expressible
         # (seeded sketch families / probed clustering) -> rows-only checks;

@@ -71,6 +71,7 @@ def _oracle_names():
     "role_stats", "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
     "dedup_exact", "ann_topk", "multimodal_meta", "q1_pricing",
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",
+    "conv_text_fingerprint", "conv_summaries", "event_type_mode",
 ])
 def test_query_matches_oracle(ray_session, contract, con, name):
     sqls = contract.oracle_sql()
