@@ -23,25 +23,25 @@ import heapq
 
 import numpy as np
 
-from ..stages.codec import varint_decode
+from ..stages.codec import decode_consolidated_block
 
 
 class TermIterator:
-    """Cursor over one term's compressed block list; lazy per-block decode."""
+    """Cursor over one term's consolidated block list; lazy per-block decode."""
 
     __slots__ = (
-        "term", "idf", "blocks", "firsts", "suffix_ub", "bi", "pos",
+        "term", "idf", "info", "nblocks", "firsts", "suffix_ub", "bi", "pos",
         "ids", "contribs", "exhausted", "k1", "b", "avgdl",
     )
 
     def __init__(self, term: str, info: dict, k1: float, b: float, avgdl: float):
         self.term = term
         self.idf = float(info["idf"])
-        self.blocks = info["blocks"]
-        self.firsts = np.asarray([blk["first_doc_id"] for blk in self.blocks], dtype=np.int64)
-        maxes = np.asarray([blk["max_score"] for blk in self.blocks], dtype=np.float64)
+        self.info = info
+        self.firsts = info["firsts"]
+        self.nblocks = len(self.firsts)
         # suffix max: upper bound over the *remaining* list from block i on
-        self.suffix_ub = np.maximum.accumulate(maxes[::-1])[::-1]
+        self.suffix_ub = np.maximum.accumulate(info["max_scores"][::-1])[::-1]
         self.k1, self.b, self.avgdl = k1, b, avgdl
         self.bi = 0
         self.exhausted = False
@@ -49,16 +49,9 @@ class TermIterator:
         self.pos = 0
 
     def _decode_block(self, bi: int) -> None:
-        blk = self.blocks[bi]
-        c = blk["count"]
-        deltas = varint_decode(blk["deltas"], c - 1).astype(np.int64)
-        ids = np.empty(c, dtype=np.int64)
-        ids[0] = blk["first_doc_id"]
-        if c > 1:
-            np.cumsum(deltas, out=ids[1:])
-            ids[1:] += blk["first_doc_id"]
-        tf = varint_decode(blk["tfs"], c).astype(np.float64)
-        dl = varint_decode(blk["dls"], c).astype(np.float64)
+        ids, tfs, dls = decode_consolidated_block(self.info, bi)
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
         # identical float64 expression as pipelines.search.exhaustive_scores
         self.contribs = self.idf * tf * (self.k1 + 1.0) / (
             tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
@@ -80,20 +73,20 @@ class TermIterator:
 
     @property
     def cur_block_max(self) -> float:
-        return float(self.blocks[self.bi]["max_score"])
+        return float(self.info["max_scores"][self.bi])
 
     @property
     def cur_block_boundary(self) -> int:
         """Inclusive upper bound on the docs of the current block."""
         if self.bi + 1 < len(self.firsts):
             return int(self.firsts[self.bi + 1]) - 1
-        return int(self.ids[-1]) if self.bi == len(self.blocks) - 1 else 1 << 62
+        return int(self.ids[-1]) if self.bi == self.nblocks - 1 else 1 << 62
 
     def advance(self) -> None:
         """Move to the next posting."""
         self.pos += 1
         if self.pos >= len(self.ids):
-            if self.bi + 1 < len(self.blocks):
+            if self.bi + 1 < self.nblocks:
                 self._decode_block(self.bi + 1)
                 self.pos = 0
             else:
@@ -112,7 +105,7 @@ class TermIterator:
         pos = int(np.searchsorted(self.ids[self.pos :], target)) + self.pos
         if pos < len(self.ids):
             self.pos = pos
-        elif self.bi + 1 < len(self.blocks):
+        elif self.bi + 1 < self.nblocks:
             self._decode_block(self.bi + 1)
             self.pos = 0
         else:

@@ -131,3 +131,87 @@ def decode_posting_blocks(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray, n
 
 def decode_single_block(blk: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return decode_posting_blocks([blk])
+
+
+# ---------------------------------------------------------------------------
+# Consolidated in-memory form (query side). A hot term can have thousands of
+# blocks; a Python list of per-block dicts is slow to ship between actors and
+# slow to decode (per-block call overhead). The consolidated form is a few
+# numpy arrays + three concatenated byte streams: near-zero-copy Ray
+# serialization, and single-pass whole-term decode (varint streams are
+# self-terminating, so concatenated block payloads decode as one stream).
+# ---------------------------------------------------------------------------
+
+def consolidate_blocks(blocks: list[dict]) -> dict:
+    """Per-block dicts (parquet layout) -> flat arrays + joined payloads."""
+    nb = len(blocks)
+    firsts = np.empty(nb, dtype=np.int64)
+    counts = np.empty(nb, dtype=np.int64)
+    max_scores = np.empty(nb, dtype=np.float64)
+    d_parts, t_parts, l_parts = [], [], []
+    d_off = np.zeros(nb + 1, dtype=np.int64)
+    t_off = np.zeros(nb + 1, dtype=np.int64)
+    l_off = np.zeros(nb + 1, dtype=np.int64)
+    for i, blk in enumerate(blocks):
+        firsts[i] = blk["first_doc_id"]
+        counts[i] = blk["count"]
+        max_scores[i] = blk["max_score"]
+        d_parts.append(blk["deltas"])
+        t_parts.append(blk["tfs"])
+        l_parts.append(blk["dls"])
+        d_off[i + 1] = d_off[i] + len(blk["deltas"])
+        t_off[i + 1] = t_off[i] + len(blk["tfs"])
+        l_off[i + 1] = l_off[i] + len(blk["dls"])
+    return {
+        "firsts": firsts,
+        "counts": counts,
+        "max_scores": max_scores,
+        "deltas": b"".join(d_parts),
+        "tfs": b"".join(t_parts),
+        "dls": b"".join(l_parts),
+        "deltas_off": d_off,
+        "tfs_off": t_off,
+        "dls_off": l_off,
+    }
+
+
+def decode_consolidated(c: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-term single-pass decode of the consolidated form."""
+    counts = c["counts"]
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, np.int64),) * 3
+    tfs = varint_decode(c["tfs"], total).astype(np.int64)
+    dls = varint_decode(c["dls"], total).astype(np.int64)
+    deltas = varint_decode(c["deltas"], total - len(counts)).astype(np.int64)
+
+    # Rebuild doc_ids with ONE global cumsum: position 0 of each block gets
+    # (first_doc_id - last_doc_id_of_previous_block) so the running sum
+    # resets exactly at block heads.
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    dcum = np.concatenate([[0], np.cumsum(deltas)])
+    dbounds = np.concatenate([[0], np.cumsum(counts - 1)])
+    block_delta_sum = dcum[dbounds[1:]] - dcum[dbounds[:-1]]
+    lasts = c["firsts"] + block_delta_sum
+    vals = np.empty(total, dtype=np.int64)
+    mask = np.ones(total, dtype=bool)
+    mask[starts] = False
+    vals[~mask] = c["firsts"] - np.concatenate([[0], lasts[:-1]])
+    vals[mask] = deltas
+    ids = np.cumsum(vals)
+    return ids, tfs, dls
+
+
+def decode_consolidated_block(c: dict, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block of the consolidated form (lazy WAND path)."""
+    cnt = int(c["counts"][bi])
+    d = c["deltas"][c["deltas_off"][bi] : c["deltas_off"][bi + 1]]
+    t = c["tfs"][c["tfs_off"][bi] : c["tfs_off"][bi + 1]]
+    l = c["dls"][c["dls_off"][bi] : c["dls_off"][bi + 1]]
+    deltas = varint_decode(d, cnt - 1).astype(np.int64)
+    ids = np.empty(cnt, dtype=np.int64)
+    ids[0] = c["firsts"][bi]
+    if cnt > 1:
+        np.cumsum(deltas, out=ids[1:])
+        ids[1:] += c["firsts"][bi]
+    return ids, varint_decode(t, cnt).astype(np.int64), varint_decode(l, cnt).astype(np.int64)

@@ -40,14 +40,35 @@ def compute_conv_offsets(ds: "ray.data.Dataset") -> dict[str, np.ndarray]:
 
     Returns {"conv_ids": sorted conv ids, "bases": int64 offsets, "n_docs": N}.
     """
-    from ray.data.aggregate import Count, Max, Min
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    # Pre-aggregate per batch (combiner) and prune to the two key columns
+    # BEFORE the shuffle: the groupby then moves #convs-sized partials, not
+    # the full table (never ship `text` through a count shuffle).
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"conv_id": batch.column("conv_id"), "turn_idx": batch.column("turn_idx")}
+        ).to_pandas()
+        g = (
+            df.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("turn_idx", "size"),
+                min_turn=("turn_idx", "min"),
+                max_turn=("turn_idx", "max"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        ds.groupby("conv_id")
+        ds.select_columns(["conv_id", "turn_idx"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("conv_id")
         .aggregate(
-            Count(alias_name="n_turns"),
-            Min("turn_idx", alias_name="min_turn"),
-            Max("turn_idx", alias_name="max_turn"),
+            Sum("n_turns", alias_name="n_turns"),
+            Min("min_turn", alias_name="min_turn"),
+            Max("max_turn", alias_name="max_turn"),
         )
         .to_pandas()
     )

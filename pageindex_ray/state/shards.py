@@ -20,10 +20,17 @@ import os
 import pyarrow.parquet as pq
 import ray
 
+from ..stages.codec import consolidate_blocks
+
 
 @ray.remote
 class PostingShard:
-    """Owns the posting rows of a set of term-hash partitions."""
+    """Owns the posting rows of a set of term-hash partitions.
+
+    Block lists are converted to the consolidated numpy/bytes form at load
+    time (once), so ``fetch`` ships a handful of arrays + byte strings per
+    term instead of thousands of per-block dicts — near-zero-copy through
+    the object store."""
 
     def __init__(self, index_dir: str, part_ids: list[int]):
         self.terms: dict[str, dict] = {}
@@ -33,17 +40,16 @@ class PostingShard:
                 continue  # empty partition (no terms hashed to it)
             table = pq.read_table(path)
             for row in table.to_pylist():
-                self.terms[row["term"]] = {
-                    "df": row["df"],
-                    "cf": row["cf"],
-                    "idf": row["idf"],
-                    "blocks": row["blocks"],
-                }
+                info = consolidate_blocks(row["blocks"])
+                info["df"] = row["df"]
+                info["cf"] = row["cf"]
+                info["idf"] = row["idf"]
+                self.terms[row["term"]] = info
 
     def num_terms(self) -> int:
         return len(self.terms)
 
     def fetch(self, terms: list[str]) -> dict[str, dict]:
-        """Return compressed posting data for the requested terms (missing
+        """Return consolidated posting data for the requested terms (missing
         terms are simply absent from the result)."""
         return {t: self.terms[t] for t in terms if t in self.terms}
