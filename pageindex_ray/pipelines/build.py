@@ -32,10 +32,10 @@ import ray
 import ray.data
 
 from ..config import DEFAULT, BuildConfig
-from ..stages.docmap import DocMapper, compute_conv_offsets
+from ..stages.docmap import compute_conv_offsets, docmap_batch
 from ..stages.postings import (
-    PostingEmitter,
     assemble_partition,
+    emit_postings_batch,
     scan_completed_partitions,
     stats_fingerprint,
 )
@@ -78,11 +78,9 @@ def build_index(
     docmap_dir = os.path.join(index_dir, "docmap")
     docmap_marker = os.path.join(index_dir, "_meta", "docmap.json")
     docmap_ds = ds.map_batches(
-        DocMapper,
-        fn_constructor_args=(offsets_ref,),
+        partial(docmap_batch, offsets_ref=offsets_ref),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 8),
     )
     need_docmap = True
     if os.path.exists(docmap_marker):
@@ -107,13 +105,17 @@ def build_index(
     fingerprint = stats_fingerprint(n_docs, avgdl, cfg)
     completed = scan_completed_partitions(index_dir, fingerprint)
     built_now = 0
+    built_parts: list[int] = []
     if len(completed) < cfg.num_partitions:
         postings = ds.map_batches(
-            PostingEmitter,
-            fn_constructor_args=(offsets_ref, cfg.num_partitions, frozenset(completed)),
+            partial(
+                emit_postings_batch,
+                offsets_ref=offsets_ref,
+                num_partitions=cfg.num_partitions,
+                completed=frozenset(completed),
+            ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
-            concurrency=(1, 16),
         )
         assembler = partial(
             assemble_partition,
@@ -131,10 +133,12 @@ def build_index(
             .to_pandas()
         )
         built_now = len(lineage)
+        built_parts = lineage["part"].astype(int).tolist()
 
     # A partition with zero terms writes no file; record which parts exist so
     # the query engine can distinguish "empty partition" from "missing".
-    present = sorted(scan_completed_partitions(index_dir, fingerprint))
+    # (this run's lineage + the start-of-run scan — no end-of-build re-read)
+    present = sorted(set(built_parts) | completed)
     meta = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,

@@ -31,12 +31,15 @@ import numpy as np
 _THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]  # 2^7 .. 2^63
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int array, vectorized."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a non-negative int array, vectorized.
+
+    Returns (payload, per-value byte lengths) so callers can slice the
+    payload at arbitrary value boundaries without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= np.uint64(t)).astype(np.int64)
@@ -51,7 +54,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[pos] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(data: bytes, count: int) -> np.ndarray:

@@ -88,42 +88,50 @@ def compute_conv_offsets(ds: "ray.data.Dataset") -> dict[str, np.ndarray]:
     }
 
 
-class DocMapper:
-    """map_batches stage: transcripts batch -> docmap batch.
+def docmap_batch(batch: pa.Table, offsets_ref) -> pa.Table:
+    """Task-based map_batches stage: transcripts batch -> docmap batch.
 
-    Stateful actor-pool stage: the conv->base lookup is fetched from the
-    object store once per actor in __init__ (broadcast join — small side via
-    ray.put, SURVEY.md §2.5 J1), not per batch.
+    The conv->base lookup is a broadcast join: put once on the driver,
+    fetched + built once per worker process (module-level cache in
+    stages.postings — SURVEY.md §2.5 J1), reused by every task the worker
+    runs. Tasks, not an actor pool: no spin-up ramp at stage head.
     """
+    from .postings import cached_conv_bases
+
+    base_by_conv = cached_conv_bases(offsets_ref)
+    conv = batch.column("conv_id").to_pylist()
+    turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+    base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
+    doc_id = base + turn
+    # doc_len == len(tokenize(text)): count of non-overlapping token-regex
+    # matches on the lowercased text — identical to the shared tokenizer.
+    lower = pc.utf8_lower(batch.column("text"))
+    doc_len = pc.count_substring_regex(lower, TOKEN_PATTERN)
+    return pa.table(
+        {
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "doc_len": doc_len.cast(pa.int32()),
+        }
+    )
+
+
+class DocMapper:
+    """Callable-class form of ``docmap_batch`` (actor-pool API)."""
 
     def __init__(self, offsets_ref):
-        off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
-        self.base_by_conv = dict(zip(off["conv_ids"].tolist(), off["bases"].tolist()))
+        self.offsets_ref = offsets_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pylist()
-        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        base = np.fromiter((self.base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
-        doc_id = base + turn
-        # doc_len == len(tokenize(text)): count of non-overlapping token-regex
-        # matches on the lowercased text — identical to the shared tokenizer.
-        lower = pc.utf8_lower(batch.column("text"))
-        doc_len = pc.count_substring_regex(lower, TOKEN_PATTERN)
-        return pa.table(
-            {
-                "conv_id": batch.column("conv_id"),
-                "turn_idx": batch.column("turn_idx"),
-                "doc_id": pa.array(doc_id, type=pa.int64()),
-                "doc_len": doc_len.cast(pa.int32()),
-            }
-        )
+        return docmap_batch(batch, self.offsets_ref)
 
 
 def docmap_dataset(ds: "ray.data.Dataset", offsets_ref) -> "ray.data.Dataset":
+    from functools import partial
+
     return ds.map_batches(
-        DocMapper,
-        fn_constructor_args=(offsets_ref,),
+        partial(docmap_batch, offsets_ref=offsets_ref),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 8),
     )

@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..tokenizer import tokenize_batch
-from .codec import encode_posting_blocks
+from .codec import varint_encode_with_lengths
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -70,76 +70,112 @@ def term_partition(term: str, num_partitions: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_partitions
 
 
-class PostingEmitter:
-    """Actor-pool map_batches stage: transcripts batch -> posting rows.
+# Per-worker-process caches for task-based stages: Ray reuses worker
+# processes across map_batches tasks, so a module-level cache gives the same
+# load-once amortization as an actor pool without actor-pool spin-up latency
+# (an autoscaling pool starts at 1 actor and ramps reactively — a serial
+# bottleneck at the head of every stage).
+_BROADCAST_CACHE: dict[str, object] = {}
 
-    __init__ (once per actor): fetch the broadcast conv->base offsets, build
-    the term->partition cache. __call__ (per batch): tokenize, count tf per
-    (doc, term) with a vectorized pandas group-size, attach doc_len.
+
+def cached_conv_bases(offsets_ref) -> dict:
+    if isinstance(offsets_ref, dict):  # local/test path
+        off = offsets_ref
+        key = str(id(off))
+    else:
+        key = offsets_ref.hex()
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
+        hit = dict(zip(off["conv_ids"].tolist(), off["bases"].tolist()))
+        _BROADCAST_CACHE[key] = hit
+    return hit
+
+
+_PART_CACHE: dict[int, dict[str, int]] = {}
+
+
+def cached_term_parts(terms: np.ndarray, num_partitions: int) -> np.ndarray:
+    cache = _PART_CACHE.setdefault(num_partitions, {})
+    out = np.empty(len(terms), dtype=np.int32)
+    for i, t in enumerate(terms):
+        p = cache.get(t)
+        if p is None:
+            p = zlib.crc32(t.encode("utf-8")) % num_partitions
+            cache[t] = p
+        out[i] = p
+    return out
+
+
+_EMPTY_POSTINGS = pa.table(
+    {
+        "term": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "tf": pa.array([], type=pa.int32()),
+        "dl": pa.array([], type=pa.int32()),
+        "part": pa.array([], type=pa.int32()),
+    }
+)
+
+
+def emit_postings_batch(
+    batch: pa.Table, offsets_ref, num_partitions: int, completed=frozenset()
+) -> pa.Table:
+    """Task-based map_batches stage: transcripts batch -> posting rows.
+
+    Broadcast conv->base offsets and the term->partition hash are cached per
+    worker process (load-once amortization without actor-pool ramp-up).
+    tf per (doc, term) is counted with factorize + a single int64-key
+    np.unique — one C pass, no pandas two-key groupby.
 
     Row expansion is ~ (unique terms per turn) x input rows; batch_size is
     sized accordingly by the caller (SURVEY.md §4.1 memory row).
     """
+    base_by_conv = cached_conv_bases(offsets_ref)
+    conv = batch.column("conv_id").to_pylist()
+    turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+    base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
+    doc_id = base + turn
+
+    texts = batch.column("text").to_pylist()
+    flat_terms, lengths = tokenize_batch(texts)
+    if len(flat_terms) == 0:
+        return _EMPTY_POSTINGS
+    codes, uniques = pd.factorize(flat_terms)
+    nuniq = len(uniques)
+    local = np.repeat(np.arange(len(doc_id), dtype=np.int64), lengths)
+    key = local * nuniq + codes
+    uk, counts = np.unique(key, return_counts=True)
+    u_local = uk // nuniq
+    u_code = uk % nuniq
+
+    terms = np.asarray(uniques, dtype=object)[u_code]
+    parts = cached_term_parts(terms, num_partitions)
+    out = pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(doc_id[u_local], type=pa.int64()),
+            "tf": pa.array(counts.astype(np.int32), type=pa.int32()),
+            "dl": pa.array(lengths[u_local].astype(np.int32), type=pa.int32()),
+            "part": pa.array(parts, type=pa.int32()),
+        }
+    )
+    if completed:
+        keep = ~np.isin(parts, list(completed))
+        out = out.filter(pa.array(keep))
+    return out
+
+
+class PostingEmitter:
+    """Callable-class form of ``emit_postings_batch`` (actor-pool API)."""
 
     def __init__(self, offsets_ref, num_partitions: int, completed_parts=frozenset()):
-        off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
-        self.base_by_conv = dict(zip(off["conv_ids"].tolist(), off["bases"].tolist()))
+        self.offsets_ref = offsets_ref
         self.num_partitions = num_partitions
         self.completed = frozenset(completed_parts)
-        self._part_cache: dict[str, int] = {}
-
-    def _parts_for(self, terms: np.ndarray) -> np.ndarray:
-        cache = self._part_cache
-        P = self.num_partitions
-        out = np.empty(len(terms), dtype=np.int32)
-        for i, t in enumerate(terms):
-            p = cache.get(t)
-            if p is None:
-                p = zlib.crc32(t.encode("utf-8")) % P
-                cache[t] = p
-            out[i] = p
-        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pylist()
-        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        base = np.fromiter((self.base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
-        doc_id = base + turn
-
-        texts = batch.column("text").to_pylist()
-        flat_terms, lengths = tokenize_batch(texts)
-        if len(flat_terms) == 0:
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.string()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "tf": pa.array([], type=pa.int32()),
-                    "dl": pa.array([], type=pa.int32()),
-                    "part": pa.array([], type=pa.int32()),
-                }
-            )
-        token_doc = np.repeat(doc_id, lengths)
-        token_dl = np.repeat(lengths, lengths)  # doc_len rides along per posting
-
-        # tf per (doc, term): vectorized two-key group-size (C hash groupby).
-        df = pd.DataFrame({"doc_id": token_doc, "term": flat_terms, "dl": token_dl})
-        grouped = df.groupby(["doc_id", "term"], sort=False, observed=True).agg(
-            tf=("term", "size"), dl=("dl", "first")
-        )
-        grouped = grouped.reset_index()
-
-        terms = grouped["term"].to_numpy(dtype=object)
-        parts = self._parts_for(terms)
-        keep = ~np.isin(parts, list(self.completed)) if self.completed else slice(None)
-        return pa.table(
-            {
-                "term": pa.array(terms[keep], type=pa.string()),
-                "doc_id": pa.array(grouped["doc_id"].to_numpy(np.int64)[keep], type=pa.int64()),
-                "tf": pa.array(grouped["tf"].to_numpy(np.int32)[keep], type=pa.int32()),
-                "dl": pa.array(grouped["dl"].to_numpy(np.int32)[keep], type=pa.int32()),
-                "part": pa.array(parts[keep], type=pa.int32()),
-            }
-        )
+        return emit_postings_batch(batch, self.offsets_ref, self.num_partitions, self.completed)
 
 
 def stats_fingerprint(n_docs: int, avgdl: float, cfg) -> str:
@@ -190,32 +226,89 @@ def assemble_partition(
     dls = group["dl"].to_numpy(np.int64)
     order = np.lexsort((doc_ids, terms))
     terms, doc_ids, tfs, dls = terms[order], doc_ids[order], tfs[order], dls[order]
+    n = len(terms)
 
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, len(terms))
+    uniq, tstarts = np.unique(terms, return_index=True)
+    tbounds = np.append(tstarts, n)
+    tcounts = np.diff(tbounds)
 
-    out_terms, out_df, out_cf, out_idf, out_blocks = [], [], [], [], []
-    for i, term in enumerate(uniq):
-        s, e = bounds[i], bounds[i + 1]
-        df_t = int(e - s)
-        # math.log, not np.log: the oracle uses math.log and the two can
-        # differ in the last ulp — idf must be bit-identical everywhere.
-        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-        out_terms.append(term)
-        out_df.append(df_t)
-        out_cf.append(int(tfs[s:e].sum()))
-        out_idf.append(idf)
-        out_blocks.append(
-            encode_posting_blocks(doc_ids[s:e], tfs[s:e], dls[s:e], idf, k1, b, avgdl, block_size)
+    # per-term stats; idf via math.log (np.log can differ in the last ulp
+    # from the oracle's math.log — idf must be bit-identical everywhere)
+    df_arr = tcounts.astype(np.int64)
+    tf_cum = np.concatenate([[0], np.cumsum(tfs)])
+    cf_arr = tf_cum[tbounds[1:]] - tf_cum[tbounds[:-1]]
+    idf_arr = np.asarray(
+        [math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0) for d in df_arr]
+    )
+
+    # ---- fully vectorized block layout over the whole partition ----------
+    pos_in_term = np.arange(n) - np.repeat(tstarts, tcounts)
+    is_block_start = (pos_in_term % block_size) == 0
+    bstarts = np.flatnonzero(is_block_start)
+    term_end_per_block = np.repeat(tbounds[1:], np.ceil(tcounts / block_size).astype(np.int64))
+    bends = np.minimum(bstarts + block_size, term_end_per_block)
+    bcounts = bends - bstarts
+    nb = len(bstarts)
+
+    # exact per-block max of the BM25 contribution (true WAND upper bound)
+    tf_f = tfs.astype(np.float64)
+    dl_f = dls.astype(np.float64)
+    idf_per_pos = np.repeat(idf_arr, tcounts)
+    scores = idf_per_pos * tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    max_scores = np.maximum.reduceat(scores, bstarts)
+
+    # one varint encode per payload kind for the WHOLE partition, then slice
+    deltas_all = np.diff(doc_ids, prepend=np.int64(0))  # invalid at block starts (unused there)
+    d_vals = deltas_all[~is_block_start]
+    d_bytes, d_lens = varint_encode_with_lengths(d_vals)
+    t_bytes, t_lens = varint_encode_with_lengths(tfs)
+    l_bytes, l_lens = varint_encode_with_lengths(dls)
+
+    # byte offsets: position i -> index into d_vals (positions minus the
+    # block-starts before them); block j's deltas are positions bs+1..be-1
+    d_idx = np.cumsum(~is_block_start)  # 1-based count of delta values up to pos i
+    d_cum = np.concatenate([[0], np.cumsum(d_lens)])
+    t_cum = np.concatenate([[0], np.cumsum(t_lens)])
+    l_cum = np.concatenate([[0], np.cumsum(l_lens)])
+    d_off = np.empty(nb + 1, dtype=np.int64)
+    d_off[:-1] = d_cum[d_idx[bstarts]]  # deltas of block j start after its head position
+    d_off[-1] = d_cum[-1]
+    t_off = np.empty(nb + 1, dtype=np.int64)
+    t_off[:-1] = t_cum[bstarts]
+    t_off[-1] = t_cum[-1]
+    l_off = np.empty(nb + 1, dtype=np.int64)
+    l_off[:-1] = l_cum[bstarts]
+    l_off[-1] = l_cum[-1]
+
+    def _binary_array(payload: bytes, offsets: np.ndarray) -> pa.Array:
+        return pa.BinaryArray.from_buffers(
+            pa.binary(),
+            nb,
+            [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(payload)],
         )
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(doc_ids[bstarts], type=pa.int64()),
+            pa.array(bcounts.astype(np.int32), type=pa.int32()),
+            pa.array(max_scores, type=pa.float64()),
+            _binary_array(d_bytes, d_off),
+            _binary_array(t_bytes, t_off),
+            _binary_array(l_bytes, l_off),
+        ],
+        names=["first_doc_id", "count", "max_score", "deltas", "tfs", "dls"],
+    )
+    blocks_per_term = np.ceil(tcounts / block_size).astype(np.int64)
+    list_offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
+    blocks_col = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct)
 
     table = pa.table(
         {
-            "term": pa.array(out_terms, type=pa.string()),
-            "df": pa.array(out_df, type=pa.int64()),
-            "cf": pa.array(out_cf, type=pa.int64()),
-            "idf": pa.array(out_idf, type=pa.float64()),
-            "blocks": pa.array(out_blocks, type=POSTINGS_SCHEMA.field("blocks").type),
+            "term": pa.array(uniq, type=pa.string()),
+            "df": pa.array(df_arr, type=pa.int64()),
+            "cf": pa.array(cf_arr, type=pa.int64()),
+            "idf": pa.array(idf_arr, type=pa.float64()),
+            "blocks": blocks_col,
         }
     )
 
