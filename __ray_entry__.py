@@ -116,9 +116,16 @@ def _q_corpus_stats(sf_dir: str):
 
 def _q_term_stats(sf_dir: str):
     import ray.data
+    from ray.data.aggregate import Sum
 
     idx = _ensure_index(sf_dir)
-    return ray.data.read_parquet(os.path.join(idx, "postings"), columns=["term", "df", "cf"])
+    # salted hot terms have one row per sub-partition with PARTIAL df/cf;
+    # sum to global (exact: sub-lists cover disjoint docs)
+    return (
+        ray.data.read_parquet(os.path.join(idx, "postings"), columns=["term", "df", "cf"])
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
 
 
 def _q_bm25_topk(sf_dir: str):

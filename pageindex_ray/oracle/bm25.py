@@ -9,7 +9,7 @@ implementation on the fixed query set.
 Okapi BM25:
     idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)
     score(d, q) = sum over unique terms t of q, in ascending term order:
-                    idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+                    idf(t) * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl)))
 
 All arithmetic float64. Per-doc accumulation is in ascending unique-term
 order; the engine uses the identical order so equal inputs give bit-equal
@@ -107,7 +107,11 @@ def score_all(index: OracleIndex, query_text: str) -> tuple[np.ndarray, np.ndarr
         dl = index.doclens[doc_ids]
         tf = tfs.astype(np.float64)
         denom = tf + index.k1 * (1.0 - index.b + index.b * dl / index.avgdl)
-        contrib = idf * tf * (index.k1 + 1.0) / denom
+        # factor-first, then * idf: the engine stores the idf-free factor and
+        # multiplies by query-time idf — the oracle mirrors that float64
+        # expression order exactly (bit-identity requirement)
+        factor = tf * (index.k1 + 1.0) / denom
+        contrib = idf * factor
         for d, s in zip(doc_ids.tolist(), contrib.tolist()):
             acc[d] = acc.get(d, 0.0) + s
     if not acc:

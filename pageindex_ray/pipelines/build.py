@@ -39,6 +39,42 @@ from ..stages.postings import (
     scan_completed_partitions,
     stats_fingerprint,
 )
+from ..tokenizer import tokenize
+
+
+def estimate_hot_terms(transcripts_path, cfg: BuildConfig, sample_rows: int = 20_000) -> list[str]:
+    """Sample-estimate the Zipf-head terms whose df exceeds
+    ``hot_df_ratio * N`` — those are salted across ``salt_factor``
+    sub-partitions during the shuffle.
+
+    Deterministic: the sample is the first ``sample_rows`` rows in file
+    order, so every (re-)run of the same input derives the same hot set (the
+    set is also baked into the lineage fingerprint). The margin factor (0.7)
+    catches borderline terms; over-salting a warm term is harmless (the
+    merge path is exact), under-salting only costs balance.
+    """
+    if cfg.salt_factor <= 1:
+        return []
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(
+        transcripts_path if isinstance(transcripts_path, str) else transcripts_path[0]
+    )
+    got = []
+    seen = 0
+    for rb in pf.iter_batches(batch_size=8192, columns=["text"]):
+        got.append(rb)
+        seen += rb.num_rows
+        if seen >= sample_rows:
+            break
+    texts = [t for rb in got for t in rb.column(0).to_pylist()]
+    df_counts: dict[str, int] = {}
+    for t in texts[:sample_rows]:
+        for term in set(tokenize(t)):
+            df_counts[term] = df_counts.get(term, 0) + 1
+    n = min(len(texts), sample_rows)
+    threshold = cfg.hot_df_ratio * 0.7 * n
+    return sorted(t for t, c in df_counts.items() if c >= threshold)
 
 
 def build_index(
@@ -102,7 +138,8 @@ def build_index(
     avgdl = total_tokens / n_docs if n_docs else 0.0
 
     # --- posting shuffle (resumable) --------------------------------------
-    fingerprint = stats_fingerprint(n_docs, avgdl, cfg)
+    hot_terms = estimate_hot_terms(transcripts_path, cfg)
+    fingerprint = stats_fingerprint(n_docs, avgdl, cfg, hot_terms)
     completed = scan_completed_partitions(index_dir, fingerprint)
     built_now = 0
     built_parts: list[int] = []
@@ -113,6 +150,8 @@ def build_index(
                 offsets_ref=offsets_ref,
                 num_partitions=cfg.num_partitions,
                 completed=frozenset(completed),
+                hot_terms=frozenset(hot_terms),
+                salt_factor=cfg.salt_factor,
             ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -145,6 +184,7 @@ def build_index(
         "avgdl": avgdl,
         "fingerprint": fingerprint,
         "parts_present": present,
+        "hot_terms": hot_terms,
         "config": asdict(cfg),
     }
     tmp = os.path.join(index_dir, ".meta.json.tmp")

@@ -6,23 +6,27 @@ exact Okapi BM25 with deterministic tie-break (score desc, doc_id asc), at
 turn or conversation granularity (the conv_id/turn_idx hierarchy preserved
 from the reference's tree model, SURVEY.md §1.2).
 
-Two scorers over the same fetched compressed postings:
-  - ``exhaustive``: decode every posting of every query term, vectorized
-    contribution arrays, stable-sorted segmented reduction. The float64
-    accumulation order (ascending term, then ascending doc) is bit-identical
-    to the oracle's.
-  - ``block-max WAND`` (wand.py): document-at-a-time with per-block max-score
-    pruning; must return the identical top-k (tested property). Used when
-    posting volume is large enough to benefit.
+Scoring model (identical float64 expression order in oracle, exhaustive
+scorer and WAND):
 
-Rank-identity guarantee (SURVEY.md §7.3): per-doc scores are pure per-row
-functions of (tf, dl, idf, N, avgdl); only the accumulation order of a doc's
-per-term contributions could differ across implementations — it is pinned to
-ascending-term order everywhere (engine, WAND, oracle).
+    factor  = tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))   [stored form]
+    idf     = ln((N - df + 0.5)/(df + 0.5) + 1)              [query time]
+    contrib = idf * factor
+    score   = sum of contribs in ascending-term order
+
+idf is computed at QUERY time from df so that hot-term salting stays exact:
+a salted term's sub-lists each carry a PARTIAL df; the engine sums them
+before computing idf. Two scorers over the same fetched postings:
+  - exhaustive: vectorized decode + stable-sorted segmented reduction
+    (default — C-speed, optimal for the sandbox's posting sizes);
+  - block-max WAND (wand.py): document-at-a-time with idf*max_factor
+    pruning; rank-identical by construction (tested), wins when lists are
+    enormous relative to k.
 """
 
 from __future__ import annotations
 
+import math
 import os
 from collections import defaultdict
 
@@ -32,48 +36,11 @@ import pyarrow.parquet as pq
 import ray
 
 from ..stages.codec import decode_consolidated
-from ..stages.postings import term_partition
+from ..stages.postings import salted_partitions, term_partition
 from ..state.shards import PostingShard
 from ..tokenizer import tokenize
 from .build import load_meta
 from .wand import block_max_wand
-
-
-def _score_arrays(term_data: dict[str, dict], k1: float, b: float, avgdl: float, decoded=None):
-    """-> (doc_ids asc-within-term, contribs) concatenated in ascending term order.
-
-    ``decoded``: optional cache dict term -> (ids, contrib) of pre-scored
-    arrays (SearchEngine's term cache) — hot Zipf terms repeat across
-    queries, so re-decoding them per query would dominate latency."""
-    docs_list, contrib_list = [], []
-    for t in sorted(term_data):
-        if decoded is not None and t in decoded:
-            ids, contrib = decoded[t]
-        else:
-            info = term_data[t]
-            ids, tfs, dls = decode_consolidated(info)
-            tf = tfs.astype(np.float64)
-            dl = dls.astype(np.float64)
-            contrib = info["idf"] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            if decoded is not None:
-                decoded[t] = (ids, contrib)
-        docs_list.append(ids)
-        contrib_list.append(contrib)
-    if not docs_list:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    return np.concatenate(docs_list), np.concatenate(contrib_list)
-
-
-def exhaustive_scores(term_data: dict[str, dict], k1: float, b: float, avgdl: float, decoded=None):
-    """Exact (doc_ids asc, scores): segmented float64 sum in term order."""
-    docs, contribs = _score_arrays(term_data, k1, b, avgdl, decoded)
-    if len(docs) == 0:
-        return docs, contribs
-    order = np.argsort(docs, kind="stable")  # stable: preserves term order per doc
-    docs, contribs = docs[order], contribs[order]
-    uniq, starts = np.unique(docs, return_index=True)
-    scores = np.add.reduceat(contribs, starts)  # sequential left-to-right per segment
-    return uniq, scores
 
 
 def topk_from_scores(docs: np.ndarray, scores: np.ndarray, k: int):
@@ -93,7 +60,10 @@ class SearchEngine:
         self.k1 = self.meta["config"]["k1"]
         self.b = self.meta["config"]["b"]
         self.avgdl = self.meta["avgdl"]
+        self.n_docs = self.meta["n_docs"]
         self.num_partitions = self.meta["config"]["num_partitions"]
+        self.salt_factor = self.meta["config"].get("salt_factor", 1)
+        self.hot_terms = set(self.meta.get("hot_terms", []))
         self.num_shards = min(num_shards, self.num_partitions)
         part_of = [[] for _ in range(self.num_shards)]
         for pid in range(self.num_partitions):
@@ -111,51 +81,73 @@ class SearchEngine:
         self.conv_bases = off.column("base").to_numpy().astype(np.int64)
         # decoded-term cache: term -> (doc_ids, contribs) | None (absent).
         # Zipfian query streams hit the same hot terms constantly; bounded by
-        # element count (~8 GB at the default budget, far less in practice).
+        # element count.
         self._decoded: dict[str, tuple | None] = {}
         self._cache_elems = 0
         self._cache_budget = 512_000_000
 
-    def _shard_for_term(self, term: str) -> int:
-        return term_partition(term, self.num_partitions) % self.num_shards
+    # ------------------------------------------------------------------ fetch
 
-    def fetch_terms(self, terms: list[str]) -> dict[str, dict]:
-        by_shard: dict[int, list[str]] = defaultdict(list)
+    def _parts_for_term(self, term: str) -> list[int]:
+        if term in self.hot_terms and self.salt_factor > 1:
+            return sorted(set(salted_partitions(term, self.num_partitions, self.salt_factor)))
+        return [term_partition(term, self.num_partitions)]
+
+    def fetch_terms(self, terms: list[str]) -> dict[str, list[dict]]:
+        """term -> list of consolidated sub-lists (one per partition holding
+        postings of the term; >1 only for salted hot terms)."""
+        by_shard: dict[int, set[str]] = defaultdict(set)
         for t in terms:
-            by_shard[self._shard_for_term(t)].append(t)
-        futures = [self.shards[s].fetch.remote(ts) for s, ts in by_shard.items()]
-        out: dict[str, dict] = {}
-        for res in ray.get(futures):
-            out.update(res)
-        return out
+            for pid in self._parts_for_term(t):
+                by_shard[pid % self.num_shards].add(t)
+        items = sorted(by_shard.items())
+        futures = [self.shards[s].fetch.remote(sorted(ts)) for s, ts in items]
+        out: dict[str, list[dict]] = defaultdict(list)
+        for (s, _), res in zip(items, ray.get(futures)):
+            for t, infos in res.items():
+                out[t].extend(infos)
+        # deterministic sub-list order regardless of shard reply order
+        return {t: sorted(infos, key=lambda i: i["part"]) for t, infos in out.items()}
 
-    def doc_location(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        idx = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1
-        return self.conv_ids[idx], (doc_ids - self.conv_bases[idx]).astype(np.int32)
+    def idf(self, df: int) -> float:
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
     def _term_arrays(self, terms: list[str]) -> dict[str, tuple]:
-        """Decoded (doc_ids, contribs) per term, via the cache; fetches and
-        decodes only terms not yet cached (absent terms negative-cached)."""
+        """Decoded (doc_ids, contribs) per term via the cache. Salted
+        sub-lists are merged (doc-id sort; sub-lists are disjoint by
+        doc_id % S) and idf comes from the SUMMED df."""
         missing = [t for t in terms if t not in self._decoded]
         if missing:
             fetched = self.fetch_terms(missing)
             for t in missing:
-                info = fetched.get(t)
-                if info is None:
+                infos = fetched.get(t)
+                if not infos:
                     self._decoded[t] = None
                     continue
-                ids, tfs, dls = decode_consolidated(info)
+                parts = [decode_consolidated(info) for info in infos]
+                if len(parts) == 1:
+                    ids, tfs, dls = parts[0]
+                else:
+                    ids = np.concatenate([p[0] for p in parts])
+                    tfs = np.concatenate([p[1] for p in parts])
+                    dls = np.concatenate([p[2] for p in parts])
+                    order = np.argsort(ids, kind="stable")
+                    ids, tfs, dls = ids[order], tfs[order], dls[order]
+                df = int(sum(info["df"] for info in infos))
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
-                contrib = info["idf"] * tf * (self.k1 + 1.0) / (
+                factor = tf * (self.k1 + 1.0) / (
                     tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
                 )
+                contrib = self.idf(df) * factor
                 self._decoded[t] = (ids, contrib)
                 self._cache_elems += 2 * len(ids)
         if self._cache_elems > self._cache_budget:
             self._decoded.clear()
             self._cache_elems = 0
         return {t: v for t in terms if (v := self._decoded.get(t)) is not None}
+
+    # ----------------------------------------------------------------- score
 
     def _exhaustive(self, arrays: dict[str, tuple]):
         """Exact (doc_ids asc, scores) from cached per-term arrays; float64
@@ -167,34 +159,42 @@ class SearchEngine:
         uniq, starts = np.unique(docs, return_index=True)
         return uniq, np.add.reduceat(contribs, starts)
 
+    def _wand_specs(self, terms: list[str]):
+        """(term, idf, info) iterator specs in ascending (term, sub-list)
+        order. A salted term yields one iterator per sub-list — each doc
+        lives in exactly one sub-list, so scores never double-count."""
+        fetched = self.fetch_terms(terms)
+        specs = []
+        for t in sorted(fetched):
+            infos = fetched[t]
+            df = int(sum(info["df"] for info in infos))
+            idf = self.idf(df)
+            for info in infos:
+                specs.append((t, idf, info))
+        return specs
+
+    def _topk_turn(self, terms: list[str], k: int, use_wand: bool):
+        if use_wand:
+            specs = self._wand_specs(terms)
+            if not specs:
+                return None
+            return block_max_wand(specs, k, self.k1, self.b, self.avgdl)
+        arrays = self._term_arrays(terms)
+        if not arrays:
+            return None
+        d, s = self._exhaustive(arrays)
+        return topk_from_scores(d, s, k)
+
+    # ------------------------------------------------------------------- API
+
     def search(
         self, query_text: str, k: int = 10, granularity: str = "turn", use_wand: bool = False
     ) -> list[dict]:
         terms = sorted(set(tokenize(query_text)))
-        if use_wand and granularity == "turn":
-            term_data = self.fetch_terms(terms)
-            if not term_data:
-                return []
-            if len(term_data) > 1:
-                docs, scores = block_max_wand(term_data, k, self.k1, self.b, self.avgdl)
-            else:
-                d, s = exhaustive_scores(term_data, self.k1, self.b, self.avgdl)
-                docs, scores = topk_from_scores(d, s, k)
-            convs, turns = self.doc_location(docs)
-            return [
-                {
-                    "rank": r,
-                    "doc_id": int(docs[r]),
-                    "score": float(scores[r]),
-                    "conv_id": str(convs[r]),
-                    "turn_idx": int(turns[r]),
-                }
-                for r in range(len(docs))
-            ]
-        arrays = self._term_arrays(terms)
-        if not arrays:
-            return []
         if granularity == "conv":
+            arrays = self._term_arrays(terms)
+            if not arrays:
+                return []
             docs, scores = self._exhaustive(arrays)
             conv_idx = np.searchsorted(self.conv_bases, docs, side="right") - 1
             # docs ascending => per-conv accumulation in doc order (== oracle)
@@ -206,8 +206,10 @@ class SearchEngine:
                 {"rank": r, "conv_id": str(names[i]), "score": float(conv_scores[i])}
                 for r, i in enumerate(order)
             ]
-        d, s = self._exhaustive(arrays)
-        docs, scores = topk_from_scores(d, s, k)
+        res = self._topk_turn(terms, k, use_wand)
+        if res is None:
+            return []
+        docs, scores = res
         convs, turns = self.doc_location(docs)
         return [
             {
@@ -226,25 +228,15 @@ class SearchEngine:
     ) -> pa.Table:
         """Score a query set; one shard round-trip for ALL queries' terms."""
         all_terms = sorted({t for _, q in queries for t in tokenize(q)})
-        self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
+        if not use_wand:
+            self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
         rows = {"query_id": [], "rank": [], "doc_id": [], "score": [], "conv_id": [], "turn_idx": []}
         for qid, qtext in queries:
             terms = sorted(set(tokenize(qtext)))
-            if use_wand:
-                sub = self.fetch_terms(terms)
-                if not sub:
-                    continue
-                if len(sub) > 1:
-                    docs, scores = block_max_wand(sub, k, self.k1, self.b, self.avgdl)
-                else:
-                    d, s = exhaustive_scores(sub, self.k1, self.b, self.avgdl)
-                    docs, scores = topk_from_scores(d, s, k)
-            else:
-                arrays = self._term_arrays(terms)
-                if not arrays:
-                    continue
-                d, s = self._exhaustive(arrays)
-                docs, scores = topk_from_scores(d, s, k)
+            res = self._topk_turn(terms, k, use_wand)
+            if res is None:
+                continue
+            docs, scores = res
             convs, turns = self.doc_location(docs)
             n = len(docs)
             rows["query_id"].extend([qid] * n)
@@ -263,6 +255,10 @@ class SearchEngine:
                 "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
             }
         )
+
+    def doc_location(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        idx = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1
+        return self.conv_ids[idx], (doc_ids - self.conv_bases[idx]).astype(np.int32)
 
     def shutdown(self):
         for a in self.shards:

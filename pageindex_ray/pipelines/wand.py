@@ -34,14 +34,15 @@ class TermIterator:
         "ids", "contribs", "exhausted", "k1", "b", "avgdl",
     )
 
-    def __init__(self, term: str, info: dict, k1: float, b: float, avgdl: float):
+    def __init__(self, term: str, idf: float, info: dict, k1: float, b: float, avgdl: float):
         self.term = term
-        self.idf = float(info["idf"])
+        self.idf = float(idf)
         self.info = info
         self.firsts = info["firsts"]
         self.nblocks = len(self.firsts)
-        # suffix max: upper bound over the *remaining* list from block i on
-        self.suffix_ub = np.maximum.accumulate(info["max_scores"][::-1])[::-1]
+        # suffix max of idf * max_factor: upper bound over the *remaining*
+        # list from block i on (idf > 0 so the multiply preserves the max)
+        self.suffix_ub = self.idf * np.maximum.accumulate(info["max_factors"][::-1])[::-1]
         self.k1, self.b, self.avgdl = k1, b, avgdl
         self.bi = 0
         self.exhausted = False
@@ -52,10 +53,12 @@ class TermIterator:
         ids, tfs, dls = decode_consolidated_block(self.info, bi)
         tf = tfs.astype(np.float64)
         dl = dls.astype(np.float64)
-        # identical float64 expression as pipelines.search.exhaustive_scores
-        self.contribs = self.idf * tf * (self.k1 + 1.0) / (
+        # identical float64 expression order as the exhaustive scorer:
+        # factor first, then * idf
+        factor = tf * (self.k1 + 1.0) / (
             tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
         )
+        self.contribs = self.idf * factor
         self.ids = ids
         self.bi = bi
 
@@ -73,7 +76,7 @@ class TermIterator:
 
     @property
     def cur_block_max(self) -> float:
-        return float(self.info["max_scores"][self.bi])
+        return self.idf * float(self.info["max_factors"][self.bi])
 
     @property
     def cur_block_boundary(self) -> int:
@@ -113,12 +116,15 @@ class TermIterator:
 
 
 def block_max_wand(
-    term_data: dict[str, dict], k: int, k1: float, b: float, avgdl: float
+    specs: list[tuple[str, float, dict]], k: int, k1: float, b: float, avgdl: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """-> (doc_ids, scores) top-k, ordered (score desc, doc_id asc)."""
-    iters = [
-        TermIterator(t, info, k1, b, avgdl) for t, info in sorted(term_data.items())
-    ]
+    """-> (doc_ids, scores) top-k, ordered (score desc, doc_id asc).
+
+    ``specs``: (term, idf, consolidated-info) in ascending term order; a
+    salted hot term contributes several specs (disjoint doc_id sub-lists),
+    each its own iterator — a doc is scored by at most one of them, so
+    per-doc accumulation order across TERMS is still ascending-term."""
+    iters = [TermIterator(t, idf, info, k1, b, avgdl) for t, idf, info in specs]
     iters = [it for it in iters if not it.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap; worst on top
 

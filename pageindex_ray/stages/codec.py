@@ -5,7 +5,7 @@ The reference persists its index as nested JSON trees
 (/root/reference/run_pageindex.py:42-46); at 10^12-turn scale posting lists
 must be compressed binary. Format per term:
 
-    blocks: list of {first_doc_id, count, max_score, deltas, tfs, dls}
+    blocks: list of {first_doc_id, count, max_factor, deltas, tfs, dls}
 
 - ``deltas``  : varint(diff(doc_ids)) — count-1 values; doc_ids rebuilt with
                 cumsum from ``first_doc_id``.
@@ -15,10 +15,13 @@ must be compressed binary. Format per term:
                 broadcast at query time, which is what makes the
                 term-partitioned layout viable at 10^12 docs (a global
                 doclens array would be terabytes).
-- ``max_score``: exact float64 max of the BM25 contribution of the block's
-                postings for this term (idf baked in at build). Used by
-                block-max WAND as a pruning upper bound only — never for
-                ranking — so pruning can't perturb rank-identity.
+- ``max_factor``: exact float64 max of the idf-FREE BM25 factor
+                tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) over the block. The WAND
+                upper bound is idf * max_factor with idf supplied at query
+                time — keeping idf out of the stored index is what makes
+                hot-term SALTING exact: a salted sub-list's blocks are valid
+                without knowing the term's global df at assembly time. Used
+                for pruning only, never for ranking.
 
 Encode/decode are numpy-vectorized (no per-value Python loop): byte widths
 via threshold sums, scatter/gather per byte position (<=10 passes).
@@ -85,7 +88,6 @@ def encode_posting_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    idf: float,
     k1: float,
     b: float,
     avgdl: float,
@@ -93,14 +95,14 @@ def encode_posting_blocks(
 ) -> list[dict]:
     """Split one term's postings (doc_id ascending) into compressed blocks.
 
-    max_score is the exact float64 max of idf*(k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl))
-    over the block — a true upper bound for WAND pruning.
+    max_factor is the exact float64 max of tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    over the block — idf * max_factor is a true WAND upper bound.
     """
     n = len(doc_ids)
     blocks = []
     tf_f = tfs.astype(np.float64)
     dl_f = dls.astype(np.float64)
-    scores = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    factors = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         ids = doc_ids[s:e]
@@ -108,7 +110,7 @@ def encode_posting_blocks(
             {
                 "first_doc_id": int(ids[0]),
                 "count": int(e - s),
-                "max_score": float(scores[s:e].max()),
+                "max_factor": float(factors[s:e].max()),
                 "deltas": varint_encode(np.diff(ids)),
                 "tfs": varint_encode(tfs[s:e]),
                 "dls": varint_encode(dls[s:e]),
@@ -154,7 +156,7 @@ def consolidate_blocks(blocks: list[dict]) -> dict:
     nb = len(blocks)
     firsts = np.empty(nb, dtype=np.int64)
     counts = np.empty(nb, dtype=np.int64)
-    max_scores = np.empty(nb, dtype=np.float64)
+    max_factors = np.empty(nb, dtype=np.float64)
     d_parts, t_parts, l_parts = [], [], []
     d_off = np.zeros(nb + 1, dtype=np.int64)
     t_off = np.zeros(nb + 1, dtype=np.int64)
@@ -162,7 +164,7 @@ def consolidate_blocks(blocks: list[dict]) -> dict:
     for i, blk in enumerate(blocks):
         firsts[i] = blk["first_doc_id"]
         counts[i] = blk["count"]
-        max_scores[i] = blk["max_score"]
+        max_factors[i] = blk["max_factor"]
         d_parts.append(blk["deltas"])
         t_parts.append(blk["tfs"])
         l_parts.append(blk["dls"])
@@ -172,7 +174,7 @@ def consolidate_blocks(blocks: list[dict]) -> dict:
     return {
         "firsts": firsts,
         "counts": counts,
-        "max_scores": max_scores,
+        "max_factors": max_factors,
         "deltas": b"".join(d_parts),
         "tfs": b"".join(t_parts),
         "dls": b"".join(l_parts),

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import math
 import os
 import time
 import uuid
@@ -45,7 +44,6 @@ POSTINGS_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("df", pa.int64()),
         ("cf", pa.int64()),
-        ("idf", pa.float64()),
         (
             "blocks",
             pa.list_(
@@ -53,7 +51,7 @@ POSTINGS_SCHEMA = pa.schema(
                     [
                         ("first_doc_id", pa.int64()),
                         ("count", pa.int32()),
-                        ("max_score", pa.float64()),
+                        ("max_factor", pa.float64()),
                         ("deltas", pa.binary()),
                         ("tfs", pa.binary()),
                         ("dls", pa.binary()),
@@ -68,6 +66,17 @@ POSTINGS_SCHEMA = pa.schema(
 def term_partition(term: str, num_partitions: int) -> int:
     """Deterministic, process-independent term->partition hash (crc32)."""
     return zlib.crc32(term.encode("utf-8")) % num_partitions
+
+
+def salted_partitions(term: str, num_partitions: int, salt_factor: int) -> list[int]:
+    """The partitions a HOT term's postings are spread across: sub-key
+    ``(term, doc_id % salt_factor)`` — Zipf-head terms would otherwise pile
+    their entire posting list onto one reducer (SURVEY.md §4.1 skew row).
+    Deterministic; the query side re-derives the same list."""
+    return [
+        zlib.crc32(f"{term}\x00{s}".encode("utf-8")) % num_partitions
+        for s in range(salt_factor)
+    ]
 
 
 # Per-worker-process caches for task-based stages: Ray reuses worker
@@ -119,7 +128,12 @@ _EMPTY_POSTINGS = pa.table(
 
 
 def emit_postings_batch(
-    batch: pa.Table, offsets_ref, num_partitions: int, completed=frozenset()
+    batch: pa.Table,
+    offsets_ref,
+    num_partitions: int,
+    completed=frozenset(),
+    hot_terms=frozenset(),
+    salt_factor: int = 1,
 ) -> pa.Table:
     """Task-based map_batches stage: transcripts batch -> posting rows.
 
@@ -150,11 +164,34 @@ def emit_postings_batch(
     u_code = uk % nuniq
 
     terms = np.asarray(uniques, dtype=object)[u_code]
+    out_doc_ids = doc_id[u_local]
     parts = cached_term_parts(terms, num_partitions)
+    if hot_terms and salt_factor > 1:
+        # hot terms: route by (term, doc_id % S) so no single reducer gets a
+        # whole Zipf-head posting list
+        uniq_terms = np.asarray(uniques, dtype=object)
+        hot_codes = np.flatnonzero(np.asarray([t in hot_terms for t in uniq_terms]))
+        if len(hot_codes):
+            hot_mask = np.isin(u_code, hot_codes)
+            if hot_mask.any():
+                salt_tables = {
+                    int(c): np.asarray(
+                        salted_partitions(str(uniq_terms[c]), num_partitions, salt_factor),
+                        dtype=np.int32,
+                    )
+                    for c in hot_codes
+                }
+                salts = (out_doc_ids[hot_mask] % salt_factor).astype(np.int64)
+                hcodes = u_code[hot_mask]
+                parts = parts.copy()
+                parts[hot_mask] = np.asarray(
+                    [salt_tables[int(c)][s] for c, s in zip(hcodes, salts)],
+                    dtype=np.int32,
+                )
     out = pa.table(
         {
             "term": pa.array(terms, type=pa.string()),
-            "doc_id": pa.array(doc_id[u_local], type=pa.int64()),
+            "doc_id": pa.array(out_doc_ids, type=pa.int64()),
             "tf": pa.array(counts.astype(np.int32), type=pa.int32()),
             "dl": pa.array(lengths[u_local].astype(np.int32), type=pa.int32()),
             "part": pa.array(parts, type=pa.int32()),
@@ -169,18 +206,24 @@ def emit_postings_batch(
 class PostingEmitter:
     """Callable-class form of ``emit_postings_batch`` (actor-pool API)."""
 
-    def __init__(self, offsets_ref, num_partitions: int, completed_parts=frozenset()):
+    def __init__(self, offsets_ref, num_partitions: int, completed_parts=frozenset(),
+                 hot_terms=frozenset(), salt_factor: int = 1):
         self.offsets_ref = offsets_ref
         self.num_partitions = num_partitions
         self.completed = frozenset(completed_parts)
+        self.hot_terms = frozenset(hot_terms)
+        self.salt_factor = salt_factor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return emit_postings_batch(batch, self.offsets_ref, self.num_partitions, self.completed)
+        return emit_postings_batch(
+            batch, self.offsets_ref, self.num_partitions, self.completed,
+            self.hot_terms, self.salt_factor,
+        )
 
 
-def stats_fingerprint(n_docs: int, avgdl: float, cfg) -> str:
-    """Lineage fingerprint: any change to corpus stats or scoring config
-    invalidates previously committed partitions (resume safety)."""
+def stats_fingerprint(n_docs: int, avgdl: float, cfg, hot_terms=()) -> str:
+    """Lineage fingerprint: any change to corpus stats, scoring config or the
+    hot-term routing invalidates previously committed partitions."""
     payload = json.dumps(
         {
             "n_docs": n_docs,
@@ -189,6 +232,8 @@ def stats_fingerprint(n_docs: int, avgdl: float, cfg) -> str:
             "b": cfg.b,
             "block_size": cfg.block_size,
             "num_partitions": cfg.num_partitions,
+            "salt_factor": cfg.salt_factor,
+            "hot_terms": sorted(hot_terms),
             "tokenizer": "alnum-lower-v1",
         },
         sort_keys=True,
@@ -232,14 +277,13 @@ def assemble_partition(
     tbounds = np.append(tstarts, n)
     tcounts = np.diff(tbounds)
 
-    # per-term stats; idf via math.log (np.log can differ in the last ulp
-    # from the oracle's math.log — idf must be bit-identical everywhere)
+    # per-term stats; df is PARTITION-LOCAL: global for unsalted terms (a
+    # term's postings all hash to one partition), partial for salted hot
+    # terms (the query side sums partials; idf is computed at query time
+    # from the summed df, which is why nothing here needs it)
     df_arr = tcounts.astype(np.int64)
     tf_cum = np.concatenate([[0], np.cumsum(tfs)])
     cf_arr = tf_cum[tbounds[1:]] - tf_cum[tbounds[:-1]]
-    idf_arr = np.asarray(
-        [math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0) for d in df_arr]
-    )
 
     # ---- fully vectorized block layout over the whole partition ----------
     pos_in_term = np.arange(n) - np.repeat(tstarts, tcounts)
@@ -250,12 +294,12 @@ def assemble_partition(
     bcounts = bends - bstarts
     nb = len(bstarts)
 
-    # exact per-block max of the BM25 contribution (true WAND upper bound)
+    # exact per-block max of the idf-free BM25 factor (x idf at query time
+    # = true WAND upper bound)
     tf_f = tfs.astype(np.float64)
     dl_f = dls.astype(np.float64)
-    idf_per_pos = np.repeat(idf_arr, tcounts)
-    scores = idf_per_pos * tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
-    max_scores = np.maximum.reduceat(scores, bstarts)
+    factors = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    max_factors = np.maximum.reduceat(factors, bstarts)
 
     # one varint encode per payload kind for the WHOLE partition, then slice
     deltas_all = np.diff(doc_ids, prepend=np.int64(0))  # invalid at block starts (unused there)
@@ -291,12 +335,12 @@ def assemble_partition(
         [
             pa.array(doc_ids[bstarts], type=pa.int64()),
             pa.array(bcounts.astype(np.int32), type=pa.int32()),
-            pa.array(max_scores, type=pa.float64()),
+            pa.array(max_factors, type=pa.float64()),
             _binary_array(d_bytes, d_off),
             _binary_array(t_bytes, t_off),
             _binary_array(l_bytes, l_off),
         ],
-        names=["first_doc_id", "count", "max_score", "deltas", "tfs", "dls"],
+        names=["first_doc_id", "count", "max_factor", "deltas", "tfs", "dls"],
     )
     blocks_per_term = np.ceil(tcounts / block_size).astype(np.int64)
     list_offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
@@ -307,7 +351,6 @@ def assemble_partition(
             "term": pa.array(uniq, type=pa.string()),
             "df": pa.array(df_arr, type=pa.int64()),
             "cf": pa.array(cf_arr, type=pa.int64()),
-            "idf": pa.array(idf_arr, type=pa.float64()),
             "blocks": blocks_col,
         }
     )

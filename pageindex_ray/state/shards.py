@@ -33,23 +33,25 @@ class PostingShard:
     the object store."""
 
     def __init__(self, index_dir: str, part_ids: list[int]):
-        self.terms: dict[str, dict] = {}
-        for pid in part_ids:
+        # term -> LIST of consolidated sub-lists: a salted hot term can have
+        # sub-lists in more than one partition owned by this shard.
+        self.terms: dict[str, list[dict]] = {}
+        for pid in sorted(part_ids):
             path = os.path.join(index_dir, "postings", f"part-{pid:05d}.parquet")
             if not os.path.exists(path):
                 continue  # empty partition (no terms hashed to it)
             table = pq.read_table(path)
             for row in table.to_pylist():
                 info = consolidate_blocks(row["blocks"])
-                info["df"] = row["df"]
+                info["df"] = row["df"]  # partition-local (partial for salted terms)
                 info["cf"] = row["cf"]
-                info["idf"] = row["idf"]
-                self.terms[row["term"]] = info
+                info["part"] = pid
+                self.terms.setdefault(row["term"], []).append(info)
 
     def num_terms(self) -> int:
         return len(self.terms)
 
-    def fetch(self, terms: list[str]) -> dict[str, dict]:
-        """Return consolidated posting data for the requested terms (missing
+    def fetch(self, terms: list[str]) -> dict[str, list[dict]]:
+        """Consolidated posting sub-lists for the requested terms (missing
         terms are simply absent from the result)."""
         return {t: self.terms[t] for t in terms if t in self.terms}

@@ -11,21 +11,29 @@ from pageindex_ray.pipelines.build import build_index
 
 
 def _postings_content(index_dir):
-    """Order-insensitive logical content of the postings: per-term postings."""
+    """Order-insensitive LOGICAL content of the postings: per-term merged
+    posting lists (salted hot terms have one row per sub-partition — merge
+    them and sum the partial df/cf so physically different layouts with the
+    same logical content compare equal)."""
     from pageindex_ray.stages.codec import decode_posting_blocks
 
     table = pads.dataset(os.path.join(index_dir, "postings")).to_table()
-    out = {}
+    acc: dict[str, list] = {}
     for row in table.to_pylist():
         ids, tfs, dls = decode_posting_blocks(row["blocks"])
-        out[row["term"]] = (
-            row["df"],
-            row["cf"],
-            row["idf"],
-            ids.tolist(),
-            tfs.tolist(),
-            dls.tolist(),
-        )
+        entry = acc.setdefault(row["term"], [0, 0, [], [], []])
+        entry[0] += row["df"]
+        entry[1] += row["cf"]
+        entry[2].append(ids)
+        entry[3].append(tfs)
+        entry[4].append(dls)
+    out = {}
+    for term, (df, cf, ids_l, tfs_l, dls_l) in acc.items():
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        order = np.argsort(ids)
+        out[term] = (df, cf, ids[order].tolist(), tfs[order].tolist(), dls[order].tolist())
     return out
 
 
@@ -75,8 +83,8 @@ def test_index_content_invariant_to_parallelism(ray_session, tiny_corpus, tmp_pa
     build_index(tiny_corpus["transcripts"], a, BuildConfig(num_partitions=2, tokenize_batch_size=512))
     build_index(tiny_corpus["transcripts"], b, BuildConfig(num_partitions=16, tokenize_batch_size=4096))
 
-    ca = {t: v[:3] + tuple(map(tuple, v[3:])) for t, v in _postings_content(a).items()}
-    cb = {t: v[:3] + tuple(map(tuple, v[3:])) for t, v in _postings_content(b).items()}
+    ca = {t: v[:2] + tuple(map(tuple, v[2:])) for t, v in _postings_content(a).items()}
+    cb = {t: v[:2] + tuple(map(tuple, v[2:])) for t, v in _postings_content(b).items()}
     assert ca == cb
 
     qa = SearchEngine(a, num_shards=2)

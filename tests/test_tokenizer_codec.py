@@ -59,19 +59,19 @@ def test_posting_blocks_roundtrip(n):
     doc_ids = np.cumsum(gaps)
     tfs = rng.integers(1, 50, n, dtype=np.int64)
     dls = rng.integers(1, 200, n, dtype=np.int64)
-    idf, k1, b, avgdl = 2.5, 1.5, 0.75, 40.0
-    blocks = encode_posting_blocks(doc_ids, tfs, dls, idf, k1, b, avgdl, block_size=128)
+    k1, b, avgdl = 1.5, 0.75, 40.0
+    blocks = encode_posting_blocks(doc_ids, tfs, dls, k1, b, avgdl, block_size=128)
     rids, rtfs, rdls = decode_posting_blocks(blocks)
     assert np.array_equal(rids, doc_ids)
     assert np.array_equal(rtfs, tfs)
     assert np.array_equal(rdls, dls)
-    # per-block invariants: first_doc_id matches head; max_score bounds members
+    # per-block invariants: first_doc_id matches head; max_factor bounds members
     tf_f, dl_f = tfs.astype(float), dls.astype(float)
-    scores = idf * tf_f * (k1 + 1) / (tf_f + k1 * (1 - b + b * dl_f / avgdl))
+    factors = tf_f * (k1 + 1) / (tf_f + k1 * (1 - b + b * dl_f / avgdl))
     pos = 0
     for blk in blocks:
         c = blk["count"]
         assert blk["first_doc_id"] == doc_ids[pos]
-        assert blk["max_score"] >= scores[pos : pos + c].max() - 1e-12
+        assert blk["max_factor"] >= factors[pos : pos + c].max() - 1e-12
         pos += c
     assert pos == n
