@@ -299,6 +299,29 @@ def _q_events_by_type(sf_dir: str):
     return events_by_type(sf_dir)
 
 
+def _q_events_tumbling(sf_dir: str):
+    from pageindex_ray.pipelines.relational import events_tumbling
+
+    return events_tumbling(sf_dir)
+
+
+def _q_parts_by_brand(sf_dir: str):
+    from pageindex_ray.pipelines.relational import parts_by_brand
+
+    return parts_by_brand(sf_dir)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import embedding_near_dup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup(ds, threshold=0.3).select(["vec_a", "vec_b"])
+
+
 def _q_conv_fingerprint(sf_dir: str):
     from pageindex_ray.pipelines.conversations import conv_text_fingerprint
 
@@ -343,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_text_fingerprint": _q_conv_fingerprint,
         "conv_summaries": _q_conv_summaries,
         "event_type_mode": _q_event_mode,
+        "events_tumbling": _q_events_tumbling,
+        "parts_by_brand": _q_parts_by_brand,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -564,6 +590,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY event_type
             ORDER BY n DESC, event_type ASC LIMIT 1
+        """,
+        "events_tumbling": """
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type, hour_bucket
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   CAST(sum(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_retail_cents,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         # dedup_minhash, dedup_simhash, ann_ivf: not SQL-expressible
         # (seeded sketch families / probed clustering) -> rows-only checks;

@@ -1,0 +1,113 @@
+"""Job entry points, runnable standalone or via ``ray job submit``:
+
+    python -m pageindex_ray build  --input <transcripts.parquet|dir> --index <dir>
+    python -m pageindex_ray search --index <dir> --query "text" [-k 10] [--conv]
+    python -m pageindex_ray bench-queries --index <dir> --queries <parquet>
+
+Reference analogue: run_pageindex.py (/root/reference/run_pageindex.py:6-46).
+Owns the Ray session (guarded init — the driver/test harness inits Ray
+itself and never goes through this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pageindex_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--k1", type=float, default=1.5)
+    b.add_argument("--b", type=float, default=0.75)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--salt-factor", type=int, default=8)
+
+    s = sub.add_parser("search", help="BM25 top-k against a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--conv", action="store_true", help="conversation granularity")
+    s.add_argument("--wand", action="store_true", help="use block-max WAND")
+    s.add_argument("--shards", type=int, default=8)
+
+    q = sub.add_parser("bench-queries", help="p50 latency over a query parquet")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("-k", type=int, default=10)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "build":
+            from .config import BuildConfig
+            from .pipelines.build import build_index
+
+            cfg = BuildConfig(
+                num_partitions=args.partitions,
+                k1=args.k1,
+                b=args.b,
+                block_size=args.block_size,
+                salt_factor=args.salt_factor,
+            )
+            report = build_index(args.input, args.index, cfg)
+            print(json.dumps(report))
+        elif args.cmd == "search":
+            from .pipelines.search import SearchEngine
+
+            eng = SearchEngine(args.index, num_shards=args.shards)
+            hits = eng.search(
+                args.query,
+                k=args.k,
+                granularity="conv" if args.conv else "turn",
+                use_wand=args.wand,
+            )
+            print(json.dumps(hits))
+            eng.shutdown()
+        elif args.cmd == "bench-queries":
+            import statistics
+            import time
+
+            import pyarrow.parquet as pq
+
+            from .pipelines.search import SearchEngine
+
+            eng = SearchEngine(args.index)
+            t = pq.read_table(args.queries)
+            texts = t.column("text").to_pylist()
+            lat = []
+            for qt in texts:
+                t0 = time.perf_counter()
+                eng.search(qt, k=args.k)
+                lat.append(time.perf_counter() - t0)
+            print(
+                json.dumps(
+                    {
+                        "n_queries": len(texts),
+                        "p50_ms": round(statistics.median(lat) * 1000, 3),
+                        "p95_ms": round(sorted(lat)[int(0.95 * len(lat))] * 1000, 3),
+                    }
+                )
+            )
+            eng.shutdown()
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

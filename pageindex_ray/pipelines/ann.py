@@ -101,6 +101,54 @@ def brute_force_ann(
     )
 
 
+def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.3) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b and
+    cosine >= threshold.
+
+    Sandbox path: the (small) full matrix is broadcast once and every batch
+    computes its block-row of the similarity matrix — O(n^2/B) per batch,
+    embarrassingly parallel, no shuffle. At 100 TB the same kernel runs per
+    LSH bucket (random-hyperplane bucketing -> groupby -> per-bucket block
+    matmul) so the quadratic term is bounded by bucket size; the bucketing
+    stage is exactly the MinHash-LSH shape in pipelines/dedup.py.
+    """
+    full = ds.to_pandas().sort_values("vec_id")
+    ids_all = full["vec_id"].to_numpy(np.int64)
+    mat_all = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    norm_all = np.linalg.norm(mat_all, axis=1)
+    norm_all[norm_all == 0] = 1.0
+    ref = ray.put({"ids": ids_all, "mat": mat_all, "norm": norm_all})
+
+    class BlockRow:
+        def __init__(self):
+            d = ray.get(ref)
+            self.ids, self.mat, self.norm = d["ids"], d["mat"], d["norm"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch.column("vec_id").to_numpy()
+            bm = _as_matrix(batch.column("embedding"))
+            bnorm = np.linalg.norm(bm, axis=1)
+            bnorm[bnorm == 0] = 1.0
+            sims = (bm @ self.mat.T) / (bnorm[:, None] * self.norm[None, :])
+            ai, bj = np.nonzero(sims >= threshold)
+            a = bids[ai]
+            bcol = self.ids[bj]
+            keep = a < bcol  # dedupe: emit each unordered pair once
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], type=pa.int64()),
+                    "vec_b": pa.array(bcol[keep], type=pa.int64()),
+                    "sim": pa.array(sims[ai[keep], bj[keep]], type=pa.float64()),
+                }
+            )
+
+    out = ds.map_batches(
+        BlockRow, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    ).to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 11) -> np.ndarray:
     """Seeded k-means-lite on a driver-side sample (Lloyd, few iterations)."""
     rng = np.random.default_rng(seed)

@@ -193,6 +193,56 @@ def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def events_tumbling(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate: per (event_type, 1h epoch bucket) counts
+    and value cents — the streaming-window shape expressed as a bucketed
+    groupby over event time (SURVEY.md §2.10 note: Ray Data is batch; windows
+    are bucket columns). Bucket is exact int64 epoch-hours."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        hour = pc.floor(pc.divide(ts_us.cast(pa.float64()), pa.scalar(3_600_000_000.0))).cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour_bucket": hour,
+                "value_c": _cents(batch.column("value")),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("value_c", alias_name="sum_value_cents"), Count(alias_name="n_events"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def parts_by_brand(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_retailprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_brand": batch.column("p_brand"), "retail_c": _cents(batch.column("p_retailprice"))}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("retail_c", alias_name="sum_retail_cents"), Count(alias_name="n_parts"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def events_by_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 

@@ -72,6 +72,7 @@ def _oracle_names():
     "dedup_exact", "ann_topk", "multimodal_meta", "q1_pricing",
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",
     "conv_text_fingerprint", "conv_summaries", "event_type_mode",
+    "events_tumbling", "parts_by_brand", "embedding_near_dup",
 ])
 def test_query_matches_oracle(ray_session, contract, con, name):
     sqls = contract.oracle_sql()
