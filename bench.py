@@ -43,8 +43,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     timings: dict[str, float] = {}
     tpath, qpath = ensure_corpus(sf_dir)  # untimed: corpus synth + cache warm
-    with open(tpath, "rb") as f:  # warm page cache so we time compute, not I/O
-        f.read()
+    files = (
+        [os.path.join(tpath, f) for f in os.listdir(tpath)] if os.path.isdir(tpath) else [tpath]
+    )
+    for fp in files:  # warm page cache so we time compute, not first-disk-read
+        with open(fp, "rb") as f:
+            f.read()
 
     # Warm the worker pool (untimed): Ray worker processes import
     # ray.data/pandas/pyarrow on first task (~seconds x num_cpus). A

@@ -57,9 +57,10 @@ def estimate_hot_terms(transcripts_path, cfg: BuildConfig, sample_rows: int = 20
         return []
     import pyarrow.parquet as _pq
 
-    pf = _pq.ParquetFile(
-        transcripts_path if isinstance(transcripts_path, str) else transcripts_path[0]
-    )
+    path = transcripts_path if isinstance(transcripts_path, str) else transcripts_path[0]
+    if os.path.isdir(path):
+        path = os.path.join(path, sorted(os.listdir(path))[0])
+    pf = _pq.ParquetFile(path)
     got = []
     seen = 0
     for rb in pf.iter_batches(batch_size=8192, columns=["text"]):
@@ -84,12 +85,20 @@ def build_index(
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict."""
     t_start = time.perf_counter()
+    stage_t: dict[str, float] = {}
+
+    def _mark(name, t0):
+        stage_t[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter()
+
     os.makedirs(index_dir, exist_ok=True)
 
     ds = ray.data.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
 
     # --- stable addressing -------------------------------------------------
+    t0 = time.perf_counter()
     offsets = compute_conv_offsets(ds)
+    t0 = _mark("conv_offsets", t0)
     n_docs = offsets["n_docs"]
     offsets_ref = ray.put(offsets)
 
@@ -111,34 +120,53 @@ def build_index(
     os.replace(off_tmp, os.path.join(index_dir, "conv_offsets.parquet"))
 
     # --- docmap + corpus stats --------------------------------------------
+    # total_tokens already came out of the conv-offsets combine pass, so
+    # avgdl is known NOW and the docmap write (an independent sink) can
+    # overlap the posting shuffle on a background thread — two concurrent
+    # Dataset executions sharing the streaming executor's resources.
+    total_tokens = offsets["total_tokens"]
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+
     docmap_dir = os.path.join(index_dir, "docmap")
     docmap_marker = os.path.join(index_dir, "_meta", "docmap.json")
-    docmap_ds = ds.map_batches(
-        partial(docmap_batch, offsets_ref=offsets_ref),
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
     need_docmap = True
     if os.path.exists(docmap_marker):
         with open(docmap_marker) as f:
             dm = json.load(f)
         if dm.get("n_docs") == n_docs:
             need_docmap = False
-            total_tokens = dm["total_tokens"]
+
+    docmap_thread = None
+    docmap_err: list[BaseException] = []
     if need_docmap:
         import shutil
+        import threading
 
         if os.path.isdir(docmap_dir):
             shutil.rmtree(docmap_dir)
-        docmap_ds.write_parquet(docmap_dir)
-        total_tokens = int(ray.data.read_parquet(docmap_dir, columns=["doc_len"]).sum("doc_len"))
-        os.makedirs(os.path.dirname(docmap_marker), exist_ok=True)
-        with open(docmap_marker, "w") as f:
-            json.dump({"n_docs": n_docs, "total_tokens": total_tokens}, f)
-    avgdl = total_tokens / n_docs if n_docs else 0.0
+
+        def _write_docmap():
+            try:
+                t0 = time.perf_counter()
+                ds.map_batches(
+                    partial(docmap_batch, offsets_ref=offsets_ref),
+                    batch_format="pyarrow",
+                    batch_size=8192,
+                ).write_parquet(docmap_dir)
+                _mark("docmap_write", t0)
+                os.makedirs(os.path.dirname(docmap_marker), exist_ok=True)
+                with open(docmap_marker, "w") as f:
+                    json.dump({"n_docs": n_docs, "total_tokens": total_tokens}, f)
+            except BaseException as e:  # surfaced after join
+                docmap_err.append(e)
+
+        docmap_thread = threading.Thread(target=_write_docmap, daemon=True)
+        docmap_thread.start()
 
     # --- posting shuffle (resumable) --------------------------------------
+    t0 = time.perf_counter()
     hot_terms = estimate_hot_terms(transcripts_path, cfg)
+    t0 = _mark("hot_estimate", t0)
     fingerprint = stats_fingerprint(n_docs, avgdl, cfg, hot_terms)
     completed = scan_completed_partitions(index_dir, fingerprint)
     built_now = 0
@@ -166,13 +194,21 @@ def build_index(
             block_size=cfg.block_size,
             fingerprint=fingerprint,
         )
+        t0 = time.perf_counter()
         lineage = (
             postings.groupby("part")
-            .map_groups(assembler, batch_format="pandas")
+            .map_groups(assembler, batch_format="pyarrow")
             .to_pandas()
         )
+        _mark("emit_shuffle_assemble", t0)
         built_now = len(lineage)
         built_parts = lineage["part"].astype(int).tolist()
+        stage_t["assemble_cpu_total"] = round(float(lineage["wall_s"].sum()), 3)
+
+    if docmap_thread is not None:
+        docmap_thread.join()
+        if docmap_err:
+            raise docmap_err[0]
 
     # A partition with zero terms writes no file; record which parts exist so
     # the query engine can distinguish "empty partition" from "missing".
@@ -201,6 +237,7 @@ def build_index(
         "num_partitions": cfg.num_partitions,
         "partitions_built": built_now,
         "partitions_skipped": len(completed),
+        "stage_timings": stage_t,
         "wall_s": wall,
         "turns_per_sec": n_docs / wall if wall > 0 else float("inf"),
         "index_dir": index_dir,

@@ -44,6 +44,17 @@ from .wand import block_max_wand
 
 
 def topk_from_scores(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Exact top-k with (score desc, doc_id asc) tie-break. For large inputs
+    an argpartition pre-selects candidates; every doc tied with the k-th
+    score is included before the final lexsort, so the tie-break is exact."""
+    n = len(docs)
+    if n > max(4 * k, 1024):
+        top = np.argpartition(-scores, k - 1)[:k]
+        kth = scores[top].min()
+        cand = np.flatnonzero(scores >= kth)
+        order = np.lexsort((docs[cand], -scores[cand]))[:k]
+        sel = cand[order]
+        return docs[sel], scores[sel]
     order = np.lexsort((docs, -scores))[:k]
     return docs[order], scores[order]
 
@@ -149,11 +160,28 @@ class SearchEngine:
 
     # ----------------------------------------------------------------- score
 
+    # below this corpus size, multi-term accumulation uses a dense bincount
+    # (O(N) memory) instead of a sort; both accumulate per doc in ascending
+    # term order, so scores are bit-identical either way
+    _BINCOUNT_MAX_N = 64_000_000
+
     def _exhaustive(self, arrays: dict[str, tuple]):
         """Exact (doc_ids asc, scores) from cached per-term arrays; float64
         accumulation in ascending (term, doc) order — identical to oracle."""
-        docs = np.concatenate([arrays[t][0] for t in sorted(arrays)])
-        contribs = np.concatenate([arrays[t][1] for t in sorted(arrays)])
+        terms = sorted(arrays)
+        if len(terms) == 1:
+            # a term's postings are unique, ascending doc_ids: no accumulation
+            return arrays[terms[0]]
+        docs = np.concatenate([arrays[t][0] for t in terms])
+        contribs = np.concatenate([arrays[t][1] for t in terms])
+        if self.n_docs <= self._BINCOUNT_MAX_N:
+            # bincount accumulates sequentially in input order => per-doc
+            # sums happen in ascending-term order (== oracle)
+            acc = np.bincount(docs, weights=contribs, minlength=self.n_docs)
+            touched = np.zeros(self.n_docs, dtype=bool)
+            touched[docs] = True
+            uniq = np.flatnonzero(touched)
+            return uniq, acc[uniq]
         order = np.argsort(docs, kind="stable")
         docs, contribs = docs[order], contribs[order]
         uniq, starts = np.unique(docs, return_index=True)

@@ -165,6 +165,13 @@ DATA_ROOT = "/tmp/pageindex_ray_data"
 # turns per scale (FIXTURES.md F1: tiny/small/bench)
 SCALE_TURNS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000, "sf1": 2_000_000}
 
+# Shard count per scale: real 100 TB inputs arrive as MANY files; a single
+# monolithic parquet with huge row groups caps read parallelism at the
+# row-group count and serializes every downstream map stage. Small scales
+# stay single-file (the driver's oracle SQL reads them by literal path).
+SCALE_SHARDS = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 32}
+ROW_GROUP_SIZE = 32_768
+
 
 def _sf_name(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -174,7 +181,11 @@ def _sf_name(sf_dir: str) -> str:
 
 
 def transcripts_path(sf_dir: str) -> str:
-    return os.path.join(DATA_ROOT, _sf_name(sf_dir), "transcripts.parquet")
+    """Single parquet file (1 shard) or a directory of part files."""
+    name = _sf_name(sf_dir)
+    if SCALE_SHARDS[name] == 1:
+        return os.path.join(DATA_ROOT, name, "transcripts.parquet")
+    return os.path.join(DATA_ROOT, name, "transcripts")
 
 
 def queries_path(sf_dir: str) -> str:
@@ -186,7 +197,7 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
     os.close(fd)
     try:
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, row_group_size=ROW_GROUP_SIZE)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
@@ -195,9 +206,28 @@ def _atomic_write(table: pa.Table, path: str) -> None:
 
 def ensure_corpus(sf_dir: str) -> tuple[str, str]:
     """Idempotently materialize (transcripts, queries) parquet for a scale dir."""
+    name = _sf_name(sf_dir)
     tpath, qpath = transcripts_path(sf_dir), queries_path(sf_dir)
+    shards = SCALE_SHARDS[name]
     if not os.path.exists(tpath):
-        _atomic_write(synth_transcripts(SCALE_TURNS[_sf_name(sf_dir)]), tpath)
+        table = synth_transcripts(SCALE_TURNS[name])
+        if shards == 1:
+            _atomic_write(table, tpath)
+        else:
+            import shutil
+
+            tmp_dir = tpath + ".tmp"
+            if os.path.isdir(tmp_dir):
+                shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir)
+            per = (table.num_rows + shards - 1) // shards
+            for i in range(shards):
+                pq.write_table(
+                    table.slice(i * per, per),
+                    os.path.join(tmp_dir, f"part-{i:03d}.parquet"),
+                    row_group_size=ROW_GROUP_SIZE,
+                )
+            os.replace(tmp_dir, tpath)
     if not os.path.exists(qpath):
         _atomic_write(synth_queries(), qpath)
     return tpath, qpath

@@ -145,38 +145,60 @@ def emit_postings_batch(
     Row expansion is ~ (unique terms per turn) x input rows; batch_size is
     sized accordingly by the caller (SURVEY.md §4.1 memory row).
     """
+    import pyarrow.compute as pc
+
     base_by_conv = cached_conv_bases(offsets_ref)
     conv = batch.column("conv_id").to_pylist()
     turn = batch.column("turn_idx").to_numpy().astype(np.int64)
     base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
     doc_id = base + turn
 
-    texts = batch.column("text").to_pylist()
-    flat_terms, lengths = tokenize_batch(texts)
-    if len(flat_terms) == 0:
+    # Arrow-native tokenization: lower + regex split + flatten + dictionary
+    # encode — all C kernels, no Python token objects. Identical semantics to
+    # tokenizer.tokenize (split on non-alnum, drop empties — the DuckDB-parity
+    # contract tested in test_tokenize_matches_duckdb).
+    text_col = batch.column("text")
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(text_col), "[^a-z0-9]+")
+    flat = lists.flatten()
+    parents = lists.value_parent_indices().to_numpy()
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    if len(flat) == 0:
         return _EMPTY_POSTINGS
-    codes, uniques = pd.factorize(flat_terms)
+    dict_arr = flat.dictionary_encode()
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    uniques = dict_arr.dictionary  # Arrow StringArray of this batch's terms
     nuniq = len(uniques)
-    local = np.repeat(np.arange(len(doc_id), dtype=np.int64), lengths)
-    key = local * nuniq + codes
+
+    # doc_len per row = surviving tokens per row
+    lengths = np.bincount(parents, minlength=len(doc_id)).astype(np.int64)
+
+    # tf per (row, term): single int64-key unique
+    key = parents.astype(np.int64) * nuniq + codes
     uk, counts = np.unique(key, return_counts=True)
     u_local = uk // nuniq
     u_code = uk % nuniq
 
-    terms = np.asarray(uniques, dtype=object)[u_code]
+    uniq_np = np.asarray(uniques.to_pylist(), dtype=object)  # per-batch uniques only
+    # plain-string term column via Arrow take (no Python row strings).
+    # (A dictionary-encoded column was tried: per-block dictionaries force a
+    # many-chunk unification in the reducer that costs more than it saves.)
+    terms = uniques.take(pa.array(u_code))
     out_doc_ids = doc_id[u_local]
-    parts = cached_term_parts(terms, num_partitions)
+    parts = cached_term_parts(uniq_np, num_partitions)[u_code]
     if hot_terms and salt_factor > 1:
         # hot terms: route by (term, doc_id % S) so no single reducer gets a
         # whole Zipf-head posting list
-        uniq_terms = np.asarray(uniques, dtype=object)
-        hot_codes = np.flatnonzero(np.asarray([t in hot_terms for t in uniq_terms]))
+        hot_codes = np.flatnonzero(np.asarray([t in hot_terms for t in uniq_np]))
         if len(hot_codes):
             hot_mask = np.isin(u_code, hot_codes)
             if hot_mask.any():
                 salt_tables = {
                     int(c): np.asarray(
-                        salted_partitions(str(uniq_terms[c]), num_partitions, salt_factor),
+                        salted_partitions(str(uniq_np[c]), num_partitions, salt_factor),
                         dtype=np.int32,
                     )
                     for c in hot_codes
@@ -190,7 +212,7 @@ def emit_postings_batch(
                 )
     out = pa.table(
         {
-            "term": pa.array(terms, type=pa.string()),
+            "term": terms.cast(pa.string()),
             "doc_id": pa.array(out_doc_ids, type=pa.int64()),
             "tf": pa.array(counts.astype(np.int32), type=pa.int32()),
             "dl": pa.array(lengths[u_local].astype(np.int32), type=pa.int32()),
@@ -263,19 +285,44 @@ def assemble_partition(
     "Error" flow, utils.py:61).
     """
     t0 = time.perf_counter()
-    pid = int(group["part"].iloc[0])
+    if isinstance(group, pd.DataFrame):  # tolerate pandas-format callers
+        group = pa.Table.from_pandas(group, preserve_index=False)
+    pid = int(group.column("part")[0].as_py())
 
-    terms = group["term"].to_numpy(dtype=object)
-    doc_ids = group["doc_id"].to_numpy(np.int64)
-    tfs = group["tf"].to_numpy(np.int64)
-    dls = group["dl"].to_numpy(np.int64)
-    order = np.lexsort((doc_ids, terms))
-    terms, doc_ids, tfs, dls = terms[order], doc_ids[order], tfs[order], dls[order]
-    n = len(terms)
+    # term codes WITHOUT materializing row strings: the emit stage shipped a
+    # dictionary-encoded term column; combine_chunks unifies the per-block
+    # dictionaries into one (C kernel). Object-string handling here was
+    # memory-bandwidth-bound and throttled multi-core scaling.
+    term_col = group.column("term")
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    if not pa.types.is_dictionary(term_col.type):
+        term_col = term_col.dictionary_encode()
+    codes = term_col.indices.to_numpy().astype(np.int64)
+    uniq_np = np.asarray(term_col.dictionary.to_pylist(), dtype=object)
 
-    uniq, tstarts = np.unique(terms, return_index=True)
+    doc_ids = group.column("doc_id").to_numpy().astype(np.int64)
+    tfs = group.column("tf").to_numpy().astype(np.int64)
+    dls = group.column("dl").to_numpy().astype(np.int64)
+    n = len(codes)
+
+    # sort by (term-rank, doc_id): one int64 lexsort; only |unique terms|
+    # string comparisons happen (ranking the dictionary)
+    term_order = np.argsort(uniq_np)
+    rank = np.empty(len(uniq_np), dtype=np.int64)
+    rank[term_order] = np.arange(len(uniq_np))
+    sort_keys = rank[codes]
+    order = np.lexsort((doc_ids, sort_keys))
+    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+
+    uniq = uniq_np[term_order]
+    tcounts = np.bincount(sort_keys, minlength=len(uniq_np)).astype(np.int64)
+    keep_terms = tcounts > 0  # unified dictionary may contain terms not in this part
+    if not keep_terms.all():
+        uniq = uniq[keep_terms]
+        tcounts = tcounts[keep_terms]
+    tstarts = np.concatenate([[0], np.cumsum(tcounts)[:-1]])
     tbounds = np.append(tstarts, n)
-    tcounts = np.diff(tbounds)
 
     # per-term stats; df is PARTITION-LOCAL: global for unsalted terms (a
     # term's postings all hash to one partition), partial for salted hot
@@ -370,7 +417,7 @@ def assemble_partition(
     lineage = {
         "part": pid,
         "n_terms": len(uniq),
-        "n_postings": int(len(terms)),
+        "n_postings": int(n),
         "file_md5": file_md5,
         "fingerprint": fingerprint,
         "wall_s": wall,
