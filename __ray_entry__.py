@@ -240,6 +240,17 @@ def _embedding_queries(sf_dir: str, n: int = 5):
     return ids, mat
 
 
+def _q_dedup_jaccard(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from pageindex_ray.pipelines.dedup import jaccard_near_dup
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return jaccard_near_dup(ds, shingle_k=3, threshold=0.8)
+
+
 def _q_ann_topk(sf_dir: str):
     import ray.data
 
@@ -355,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "multimodal_meta": _q_multimodal,
@@ -497,6 +509,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+              FROM t WHERE len(toks) >= 3
+            ), ex AS (
+              SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+            FROM pairs
+            WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
         """,
         "ann_topk": """
             WITH q AS (

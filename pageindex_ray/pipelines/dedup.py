@@ -220,3 +220,94 @@ def simhash_candidates(ds: "ray.data.Dataset", max_hamming: int = 3, prefix_bits
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (SQL-expressible, unlike the sketch variants)
+# --------------------------------------------------------------------------
+
+def jaccard_near_dup(
+    ds: "ray.data.Dataset", shingle_k: int = 3, threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """EXACT word-``shingle_k``-gram Jaccard similarity for every document
+    pair sharing at least one shingle; keep pairs with jac >= threshold.
+
+    Pairs with zero shared shingles have Jaccard 0 and can never pass the
+    threshold, so "shares >= 1 shingle" blocking loses nothing — this is the
+    classic inverted-index similarity join, exact where MinHash-LSH
+    (``minhash_dedup``) is probabilistic.
+
+    Shape:
+      map_batches     distinct shingles per doc -> (shingle, doc_id, n_sh)
+      groupby(shingle) -> per-group sorted pairs carrying (na, nb)
+      groupby(doc_a, doc_b) count -> intersection size
+      map_batches     jac = inter / (na + nb - inter), filter >= threshold
+
+    Scale notes: the pair blow-up is quadratic in shingle df; word 3-grams
+    are Zipf-tailed far flatter than unigrams, but a truly hot shingle at
+    100 TB would be df-capped at candidate-gen and its pairs recovered by an
+    exact verify join on doc_id buckets (same J1 scale path as
+    ``minhash_dedup``). Here groups stay exact.
+    """
+    from ..tokenizer import tokenize
+
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        out_sh: list[str] = []
+        out_doc: list[int] = []
+        out_n: list[int] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = tokenize(text or "")
+            sh = {
+                " ".join(toks[i : i + shingle_k])
+                for i in range(len(toks) - shingle_k + 1)
+            }
+            for s in sh:
+                out_sh.append(s)
+                out_doc.append(int(did))
+                out_n.append(len(sh))
+        return pa.table(
+            {
+                "shingle": pa.array(out_sh, type=pa.string()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "n_sh": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    def pairs_of_shingle(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        ns = g["n_sh"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids, ns = ids[order], ns[order]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "na": [], "nb": []}
+            ).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"doc_a": ids[ia], "doc_b": ids[ib], "na": ns[ia], "nb": ns[ib]}
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        inter = np.int64(len(g))
+        na = np.int64(g["na"].iloc[0])
+        nb = np.int64(g["nb"].iloc[0])
+        jac = float(inter) / float(na + nb - inter)
+        if jac < threshold:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jac": []})
+        return pd.DataFrame(
+            {
+                "doc_a": [int(g["doc_a"].iloc[0])],
+                "doc_b": [int(g["doc_b"].iloc[0])],
+                "jac": [jac],
+            }
+        )
+
+    return (
+        ds.map_batches(emit_shingles, batch_format="pyarrow", batch_size=1024)
+        .groupby("shingle")
+        .map_groups(pairs_of_shingle, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(finish, batch_format="pandas")
+    )

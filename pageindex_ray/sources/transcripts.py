@@ -89,11 +89,21 @@ def synth_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
 
     offsets = np.concatenate([[0], np.cumsum(tok_lens)])
     flat = vocab[rng.choice(len(vocab), int(offsets[-1]), p=probs)]
-    join = " ".join
-    text = np.asarray(
-        [join(flat[offsets[i] : offsets[i + 1]].tolist()) for i in range(n_rows)],
-        dtype=object,
-    )
+    # join per row with the Arrow C kernel (a Python " ".join loop over
+    # millions of rows dominated generation time at bench scales)
+    import pyarrow.compute as pc
+
+    if offsets[-1] < (1 << 31):
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(flat, type=pa.string()),
+        )
+    else:
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(flat, type=pa.large_string()),
+        )
+    text = pc.binary_join(lists, " ")
 
     # Timestamps: base epoch + monotone increments within conversation; order
     # authority is turn_idx, not ts (FIXTURES.md F1).
@@ -109,7 +119,7 @@ def synth_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
             "conv_id": pa.array(conv_ids, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.string()),
+            "text": text.cast(pa.string()),
             "tool": pa.array(tool, type=pa.string()),
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
@@ -163,13 +173,20 @@ def synth_queries(n: int = 50, seed: int = SEED + 1) -> pa.Table:
 DATA_ROOT = "/tmp/pageindex_ray_data"
 
 # turns per scale (FIXTURES.md F1: tiny/small/bench)
-SCALE_TURNS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000, "sf1": 2_000_000}
+SCALE_TURNS = {
+    "sf0.001": 2_000,
+    "sf0.01": 20_000,
+    "sf0.1": 200_000,
+    "sf1": 2_000_000,
+    "sf4": 8_000_000,  # scaling-efficiency runs: big enough that per-stage
+    # fixed overheads (~seconds) are noise against per-core work
+}
 
 # Shard count per scale: real 100 TB inputs arrive as MANY files; a single
 # monolithic parquet with huge row groups caps read parallelism at the
 # row-group count and serializes every downstream map stage. Small scales
 # stay single-file (the driver's oracle SQL reads them by literal path).
-SCALE_SHARDS = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 32}
+SCALE_SHARDS = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 32, "sf4": 64}
 ROW_GROUP_SIZE = 32_768
 
 

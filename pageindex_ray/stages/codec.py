@@ -43,13 +43,24 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     n = len(v)
     if n == 0:
         return b"", np.empty(0, dtype=np.int64)
-    nbytes = np.ones(n, dtype=np.int64)
+    mx = int(v.max())
+    if mx < 128:
+        # single-byte fast path (tf, dl and most doc-gap streams): zero
+        # threshold passes, zero scatter — just a dtype narrow. This is the
+        # hot path; the generic encoder below is ~10 full-array passes of
+        # memory traffic that saturate bandwidth under many-core concurrency.
+        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
+    max_b = 1
     for t in _THRESHOLDS:
-        nbytes += (v >= np.uint64(t)).astype(np.int64)
+        if mx >= t:
+            max_b += 1
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS[: max_b - 1]:
+        nbytes += v >= np.uint64(t)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for j in range(10):
+    for j in range(max_b):
         mask = nbytes > j
         if not mask.any():
             break

