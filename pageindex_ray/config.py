@@ -36,6 +36,22 @@ class BuildConfig:
     # so the input batch is kept moderate (SURVEY.md §4.1 memory row).
     tokenize_batch_size: int = 4096
 
+    # Reduce-side transport for the posting shuffle.
+    #   "direct":      materialize the PACKED emit output (the compressed
+    #                  intermediate, ~bytes-of-index sized) and let each
+    #                  partition's assemble task take its rows straight from
+    #                  the object-store blocks — a manual hash shuffle with
+    #                  few large zero-copy reads. Optimal while one build
+    #                  wave's intermediate fits the cluster object store; at
+    #                  10^12 turns builds run as resumable doc-range waves
+    #                  (the lineage/resume layout), keeping each wave inside
+    #                  this envelope.
+    #   "sort_groupby": Ray Data's groupby(part).map_groups sort shuffle —
+    #                  streaming, never materializes the intermediate; the
+    #                  fallback when a single wave must exceed object-store
+    #                  capacity.
+    reduce_strategy: str = "direct"
+
     # Query engine
     top_k: int = 10
     num_query_shards: int = 8

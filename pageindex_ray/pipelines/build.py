@@ -34,10 +34,13 @@ import ray.data
 from ..config import DEFAULT, BuildConfig
 from ..stages.docmap import compute_conv_offsets, docmap_batch
 from ..stages.postings import (
+    assemble_direct_batch,
     assemble_partition,
     emit_postings_batch,
+    salted_partitions,
     scan_completed_partitions,
     stats_fingerprint,
+    total_tokens_from_packed,
 )
 from ..tokenizer import tokenize
 
@@ -96,8 +99,12 @@ def build_index(
     ds = ray.data.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
 
     # --- stable addressing -------------------------------------------------
+    docmap_in_emit = cfg.reduce_strategy == "direct"
     t0 = time.perf_counter()
-    offsets = compute_conv_offsets(ds)
+    # Direct-reduce recovers total_tokens from the packed docmap runs after
+    # emission, so the offsets pass skips its tokenize-count (and its text
+    # column read) entirely.
+    offsets = compute_conv_offsets(ds, with_tokens=not docmap_in_emit)
     t0 = _mark("conv_offsets", t0)
     n_docs = offsets["n_docs"]
     offsets_ref = ray.put(offsets)
@@ -120,21 +127,25 @@ def build_index(
     os.replace(off_tmp, os.path.join(index_dir, "conv_offsets.parquet"))
 
     # --- docmap + corpus stats --------------------------------------------
-    # total_tokens already came out of the conv-offsets combine pass, so
-    # avgdl is known NOW and the docmap write (an independent sink) can
-    # overlap the posting shuffle on a background thread — two concurrent
-    # Dataset executions sharing the streaming executor's resources.
-    total_tokens = offsets["total_tokens"]
-    avgdl = total_tokens / n_docs if n_docs else 0.0
-
+    # In direct-reduce mode the docmap rides the posting emission pass as
+    # packed part=-1 runs (no second read+tokenize of the corpus) and
+    # total_tokens/avgdl are recovered from those runs after emission. The
+    # background-thread sink remains for the sort_groupby strategy, whose
+    # streaming shuffle can't carry a side-channel; there the offsets pass
+    # supplies total_tokens up front.
     docmap_dir = os.path.join(index_dir, "docmap")
     docmap_marker = os.path.join(index_dir, "_meta", "docmap.json")
     need_docmap = True
+    total_tokens: int | None = None
     if os.path.exists(docmap_marker):
         with open(docmap_marker) as f:
             dm = json.load(f)
         if dm.get("n_docs") == n_docs:
             need_docmap = False
+            total_tokens = int(dm["total_tokens"])
+    if total_tokens is None and not docmap_in_emit:
+        total_tokens = offsets["total_tokens"]
+    avgdl = total_tokens / n_docs if (total_tokens is not None and n_docs) else None
 
     docmap_thread = None
     docmap_err: list[BaseException] = []
@@ -144,6 +155,8 @@ def build_index(
 
         if os.path.isdir(docmap_dir):
             shutil.rmtree(docmap_dir)
+
+    if need_docmap and not docmap_in_emit:
 
         def _write_docmap():
             try:
@@ -167,11 +180,17 @@ def build_index(
     t0 = time.perf_counter()
     hot_terms = estimate_hot_terms(transcripts_path, cfg)
     t0 = _mark("hot_estimate", t0)
-    fingerprint = stats_fingerprint(n_docs, avgdl, cfg, hot_terms)
-    completed = scan_completed_partitions(index_dir, fingerprint)
+    if avgdl is not None:
+        fingerprint = stats_fingerprint(n_docs, avgdl, cfg, hot_terms)
+        completed = scan_completed_partitions(index_dir, fingerprint)
+    else:
+        # fresh direct-mode build: avgdl arrives with the emitted docmap
+        # runs; nothing can be validated for skipping yet
+        fingerprint = None
+        completed = set()
     built_now = 0
     built_parts: list[int] = []
-    if len(completed) < cfg.num_partitions:
+    if len(completed) < cfg.num_partitions or (need_docmap and docmap_in_emit):
         postings = ds.map_batches(
             partial(
                 emit_postings_batch,
@@ -180,27 +199,69 @@ def build_index(
                 completed=frozenset(completed),
                 hot_terms=frozenset(hot_terms),
                 salt_factor=cfg.salt_factor,
+                emit_docmap=need_docmap and docmap_in_emit,
             ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
         )
-        assembler = partial(
-            assemble_partition,
-            index_dir=index_dir,
-            n_docs=n_docs,
-            avgdl=avgdl,
-            k1=cfg.k1,
-            b=cfg.b,
-            block_size=cfg.block_size,
-            fingerprint=fingerprint,
-        )
         t0 = time.perf_counter()
-        lineage = (
-            postings.groupby("part")
-            .map_groups(assembler, batch_format="pyarrow")
-            .to_pandas()
-        )
-        _mark("emit_shuffle_assemble", t0)
+        if cfg.reduce_strategy == "direct":
+            # manual hash shuffle: the packed intermediate is materialized in
+            # the object store and each partition's assemble task takes its
+            # rows directly from the blocks (see assemble_direct_batch).
+            packed = postings.materialize()
+            refs = packed.to_arrow_refs()
+            _mark("emit_materialize", t0)
+            t0 = time.perf_counter()
+            if avgdl is None:
+                total_tokens = total_tokens_from_packed(refs)
+                avgdl = total_tokens / n_docs if n_docs else 0.0
+                fingerprint = stats_fingerprint(n_docs, avgdl, cfg, hot_terms)
+            assemble_kw = dict(
+                index_dir=index_dir,
+                n_docs=n_docs,
+                avgdl=avgdl,
+                k1=cfg.k1,
+                b=cfg.b,
+                block_size=cfg.block_size,
+                fingerprint=fingerprint,
+            )
+            missing = [p for p in range(cfg.num_partitions) if p not in completed]
+            # longest-first scheduling: partitions carrying salted Zipf-head
+            # sub-lists are the biggest; launching them first shortens the
+            # reduce's straggler tail
+            busy = {
+                sp
+                for t in hot_terms
+                for sp in salted_partitions(t, cfg.num_partitions, cfg.salt_factor)
+            }
+            missing.sort(key=lambda p: (p not in busy))
+            if need_docmap:
+                missing = [-1, *missing]  # docmap sink rides the same reduce
+            parts_ds = ray.data.from_items([{"part": p} for p in missing])
+            lineage = parts_ds.map_batches(
+                partial(assemble_direct_batch, refs=refs, offsets_ref=offsets_ref, **assemble_kw),
+                batch_format="pyarrow",
+                batch_size=1,
+            ).to_pandas()
+            del refs, packed
+            _mark("direct_assemble", t0)
+        else:
+            assemble_kw = dict(
+                index_dir=index_dir,
+                n_docs=n_docs,
+                avgdl=avgdl,
+                k1=cfg.k1,
+                b=cfg.b,
+                block_size=cfg.block_size,
+                fingerprint=fingerprint,
+            )
+            lineage = (
+                postings.groupby("part")
+                .map_groups(partial(assemble_partition, **assemble_kw), batch_format="pyarrow")
+                .to_pandas()
+            )
+            _mark("emit_shuffle_assemble", t0)
         built_now = len(lineage)
         built_parts = lineage["part"].astype(int).tolist()
         stage_t["assemble_cpu_total"] = round(float(lineage["wall_s"].sum()), 3)

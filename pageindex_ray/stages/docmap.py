@@ -34,61 +34,98 @@ import ray.data
 TOKEN_PATTERN = "[a-z0-9]+"  # must stay in sync with tokenizer.TOKEN_RE
 
 
-def compute_conv_offsets(ds: "ray.data.Dataset") -> dict[str, np.ndarray]:
-    """One small shuffle: per-conversation (count, min, max of turn_idx) ->
-    validated dense-turn contract + exclusive prefix-sum base offsets.
+def compute_conv_offsets(ds: "ray.data.Dataset", with_tokens: bool = True) -> dict[str, np.ndarray]:
+    """Per-conversation (count, min, max of turn_idx) -> validated dense-turn
+    contract + exclusive prefix-sum base offsets.
 
-    Returns {"conv_ids": sorted conv ids, "bases": int64 offsets, "n_docs": N}.
+    Returns {"conv_ids": sorted conv ids, "bases": int64 offsets, "n_docs": N}
+    plus "total_tokens" when ``with_tokens`` (the build's direct-reduce path
+    instead recovers total_tokens from the packed docmap runs, skipping a
+    full tokenize pass here).
+
+    Shape: per-batch combine (bounded partials, never ships `text` rows) ->
+    RANGE-bucketed parallel merge (sample-sort: boundaries from a sampled
+    block, so bucket outputs are globally ordered and the driver only
+    concatenates and prefix-sums — no driver-side groupby or sort of the
+    conversation set). At any scale the driver work is O(#convs) memory for
+    the final offsets table, which is also what the broadcast to emitters
+    requires; beyond that the offsets table itself would become a dataset
+    and doc_id assignment a broadcast-join per conv range.
     """
     import pandas as pd
 
-    # Pre-aggregate per batch (combiner) and prune to the two key columns,
-    # then merge the partials on the driver. The partial stream is bounded
-    # by (#convs per batch) x (#batches) — a ~30x reduction versus shuffling
-    # rows, and the driver merge is one C-speed hash groupby. (A Ray
-    # groupby().aggregate() over the same partials measured ~17x slower:
-    # sort-based shuffle on ~1e5 string keys is the wrong tool for a
-    # combine-then-reduce this small.) At 10^10+ conversations the final
-    # merge becomes a hash-partitioned tree reduce over conv_id ranges
-    # instead of one driver step; the per-batch combine half is unchanged.
+    N_BUCKETS = 32
+
+    # --- boundaries from one sampled block (deterministic: first block) ----
+    head = ds.select_columns(["conv_id"]).limit(65536).to_pandas()
+    sample_ids = np.sort(head["conv_id"].to_numpy(dtype=object))
+    if len(sample_ids):
+        qpos = (np.arange(1, N_BUCKETS) * len(sample_ids)) // N_BUCKETS
+        boundaries = sample_ids[qpos]
+    else:
+        boundaries = np.empty(0, dtype=object)
+
+    agg_spec = {
+        "n_turns": ("turn_idx", "size"),
+        "min_turn": ("turn_idx", "min"),
+        "max_turn": ("turn_idx", "max"),
+    }
+    if with_tokens:
+        agg_spec["sum_tokens"] = ("n_tok", "sum")
+    merge_spec = {k: (k, k2) for k, (_, k2) in zip(agg_spec, agg_spec.values())}
+    merge_spec["n_turns"] = ("n_turns", "sum")
+
     def partial(batch: pa.Table) -> pa.Table:
-        doc_len = pc.count_substring_regex(
-            pc.utf8_lower(batch.column("text")), TOKEN_PATTERN
-        ).cast(pa.int64())
-        df = pa.table(
-            {
-                "conv_id": batch.column("conv_id"),
-                "turn_idx": batch.column("turn_idx"),
-                "n_tok": doc_len,
-            }
-        ).to_pandas()
-        g = (
-            df.groupby("conv_id", sort=False)
-            .agg(
-                n_turns=("turn_idx", "size"),
-                min_turn=("turn_idx", "min"),
-                max_turn=("turn_idx", "max"),
-                sum_tokens=("n_tok", "sum"),
-            )
-            .reset_index()
-        )
+        cols = {
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+        }
+        if with_tokens:
+            cols["n_tok"] = pc.count_substring_regex(
+                pc.utf8_lower(batch.column("text")), TOKEN_PATTERN
+            ).cast(pa.int64())
+        df = pa.table(cols).to_pandas()
+        g = df.groupby("conv_id", sort=False).agg(**agg_spec).reset_index()
+        g["bucket"] = np.searchsorted(
+            boundaries, g["conv_id"].to_numpy(dtype=object), side="right"
+        ).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    src_ds = ds if with_tokens else ds.select_columns(["conv_id", "turn_idx"])
+    partials = src_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=131072
+    ).materialize()
+    refs = partials.to_arrow_refs()
+
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        tables = [ray.get(r) for r in refs]
+        outs = []
+        for b in batch.column("bucket").to_pylist():
+            rows = [t.filter(pc.equal(t.column("bucket"), b)) for t in tables if t.num_rows]
+            rows = [r for r in rows if r.num_rows]
+            if not rows:
+                continue
+            df = pa.concat_tables(rows).to_pandas()
+            g = df.groupby("conv_id", sort=False).agg(**merge_spec).reset_index()
+            g = g.sort_values("conv_id", kind="stable")
+            g["bucket"] = b
+            outs.append(g)
+        if not outs:
+            return pa.table({c: [] for c in ["conv_id", *merge_spec, "bucket"]})
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+
+    import ray.data as _rd
+
+    merged = (
+        _rd.from_items([{"bucket": b} for b in range(N_BUCKETS)])
+        .map_batches(merge_bucket, batch_format="pyarrow", batch_size=1)
         .to_pandas()
     )
-    agg = (
-        partials.groupby("conv_id", sort=False)
-        .agg(
-            n_turns=("n_turns", "sum"),
-            min_turn=("min_turn", "min"),
-            max_turn=("max_turn", "max"),
-            sum_tokens=("sum_tokens", "sum"),
-        )
-        .reset_index()
-    )
-    agg = agg.sort_values("conv_id").reset_index(drop=True)
+    del refs, partials
+    # bucket outputs are internally sorted and bucket ranges are ordered ->
+    # a bucket-ordered concat is globally conv_id-sorted
+    agg = merged.sort_values("bucket", kind="stable").reset_index(drop=True)
+
     bad = agg[(agg["min_turn"] != 0) | (agg["max_turn"] != agg["n_turns"] - 1)]
     if len(bad):
         raise ValueError(
@@ -97,12 +134,14 @@ def compute_conv_offsets(ds: "ray.data.Dataset") -> dict[str, np.ndarray]:
         )
     n = agg["n_turns"].to_numpy(dtype=np.int64)
     bases = np.concatenate([[0], np.cumsum(n)[:-1]])
-    return {
+    out = {
         "conv_ids": agg["conv_id"].to_numpy(dtype=object),
         "bases": bases,
         "n_docs": int(n.sum()),
-        "total_tokens": int(agg["sum_tokens"].sum()),
     }
+    if with_tokens:
+        out["total_tokens"] = int(agg["sum_tokens"].sum())
+    return out
 
 
 def docmap_batch(batch: pa.Table, offsets_ref) -> pa.Table:

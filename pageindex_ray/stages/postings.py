@@ -5,7 +5,8 @@ of the reference's sequential TOC accumulation chain
 (/root/reference/pageindex/page_index.py:578-581, driver-local list mutated
 group by group, SURVEY.md §2.4 T4), made stateless + distributed:
 
-    transcripts --map_batches(PostingEmitter)--> (term, doc_id, tf, dl, part)
+    transcripts --map_batches(emit)--> packed posting runs (PACKED_SCHEMA:
+                one row per (batch, partition), binary posting buffers)
                 --groupby("part").map_groups(assemble)--> compressed shards
 
 Partitioning is by ``part = crc32(term) % P`` — every posting of a term lands
@@ -150,7 +151,12 @@ PACKED_SCHEMA = pa.schema(
         ("part", pa.int32()),
         ("base_doc", pa.int64()),
         ("n", pa.int32()),
-        ("terms", pa.binary()),  # run-unique terms, ascending local code, '\n'-joined
+        ("terms", pa.binary()),  # run-unique terms, ascending local code,
+        # FIXED-WIDTH (sw bytes each, NUL-padded): decodes to a numpy S-dtype
+        # array so vocabulary dedup/ranking in the reducer is pure C — no
+        # per-term Python string churn (24M object allocations per sf4 build
+        # otherwise, whose pymalloc arena faults throttled 32-way scaling)
+        ("sw", pa.int16()),
         ("codes", pa.binary()),  # per-posting local term code
         ("docs", pa.binary()),  # per-posting doc_id - base_doc
         ("tfs", pa.binary()),
@@ -188,6 +194,7 @@ def emit_postings_batch(
     completed=frozenset(),
     hot_terms=frozenset(),
     salt_factor: int = 1,
+    emit_docmap: bool = False,
 ) -> pa.Table:
     """Task-based map_batches stage: transcripts batch -> posting rows.
 
@@ -220,7 +227,26 @@ def emit_postings_batch(
     nonempty = pc.not_equal(flat, "")
     flat = flat.filter(nonempty)
     parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+
+    def _docmap_run() -> dict[str, list]:
+        """Packed docmap run (part = -1): every row's (doc_id, doc_len),
+        INCLUDING zero-token turns — the docmap is total over the input.
+        Rides the same wire format, so the build needs no second
+        read+tokenize pass over the corpus for the docmap sink."""
+        dl_all = np.bincount(parents, minlength=len(doc_id)).astype(np.int64)
+        dm_base = int(doc_id.min())
+        d_b, dw = _pack_ints(doc_id - dm_base)
+        l_b, lw = _pack_ints(dl_all)
+        return {
+            "part": [-1], "base_doc": [dm_base], "n": [len(doc_id)],
+            "terms": [b""], "sw": [0], "codes": [b""], "docs": [d_b],
+            "tfs": [b""], "dls": [l_b], "cw": [1], "dw": [dw],
+            "tw": [1], "lw": [lw],
+        }
+
     if len(flat) == 0:
+        if emit_docmap and len(doc_id):
+            return pa.table(_docmap_run(), schema=PACKED_SCHEMA)
         return _EMPTY_POSTINGS
     dict_arr = flat.dictionary_encode()
     codes = dict_arr.indices.to_numpy().astype(np.int64)
@@ -269,6 +295,8 @@ def emit_postings_batch(
             u_code[keep], out_doc_ids[keep], counts[keep], dls_all[keep], parts[keep]
         )
     if len(parts) == 0:
+        if emit_docmap and len(doc_id):
+            return pa.table(_docmap_run(), schema=PACKED_SCHEMA)
         return _EMPTY_POSTINGS
 
     # pack one row per partition present in this batch (runs carry no order
@@ -282,7 +310,7 @@ def emit_postings_batch(
     run_ends = np.concatenate([run_bounds, [len(p_sorted)]])
 
     cols: dict[str, list] = {k: [] for k in (
-        "part", "base_doc", "n", "terms", "codes", "docs", "tfs", "dls",
+        "part", "base_doc", "n", "terms", "sw", "codes", "docs", "tfs", "dls",
         "cw", "dw", "tw", "lw",
     )}
     for s, e in zip(run_starts, run_ends):
@@ -296,10 +324,12 @@ def emit_postings_batch(
         d_b, dw = _pack_ints(docs_sl - base)
         t_b, tw = _pack_ints(counts[sl])
         l_b, lw = _pack_ints(dls_all[sl])
+        term_arr = np.asarray(uniq_np[pcodes], dtype=np.bytes_)  # S<maxlen>
         cols["part"].append(int(p_sorted[s]))
         cols["base_doc"].append(base)
         cols["n"].append(len(sl))
-        cols["terms"].append("\n".join(uniq_np[pcodes].tolist()).encode())
+        cols["terms"].append(term_arr.tobytes())
+        cols["sw"].append(term_arr.dtype.itemsize)
         cols["codes"].append(c_b)
         cols["docs"].append(d_b)
         cols["tfs"].append(t_b)
@@ -308,6 +338,10 @@ def emit_postings_batch(
         cols["dw"].append(dw)
         cols["tw"].append(tw)
         cols["lw"].append(lw)
+    if emit_docmap and len(doc_id):
+        dm = _docmap_run()
+        for k, v in dm.items():
+            cols[k].extend(v)
     return pa.table(cols, schema=PACKED_SCHEMA)
 
 
@@ -386,19 +420,23 @@ def assemble_partition(
         )
     pid = int(group.column("part")[0].as_py())
 
-    # Decode the packed runs (see PACKED_SCHEMA). Each run's term blob holds
-    # its unique terms once; np.unique over the concatenated run vocabularies
-    # both dedups and RANKS the partition vocabulary (it sorts), and
-    # return_inverse maps every run-local code to its global rank in one
-    # gather — no row-level string ever materializes.
+    # Decode the packed runs (see PACKED_SCHEMA). Each run's term blob
+    # decodes to a fixed-width numpy S-array; np.unique over the widened
+    # concatenation both dedups and RANKS the partition vocabulary (bytes
+    # order == str order for [a-z0-9] tokens), and return_inverse maps every
+    # run-local code to its global rank in one gather — everything stays in
+    # C; Python strings exist only for the final |vocab|-sized term column.
     runs = group.to_pylist()
-    term_lists = [r["terms"].decode().split("\n") if r["terms"] else [] for r in runs]
-    run_vocab_sizes = np.asarray([len(t) for t in term_lists], dtype=np.int64)
+    term_arrays = [
+        np.frombuffer(r["terms"], dtype=f"S{r['sw']}") if r["sw"] else np.empty(0, dtype="S1")
+        for r in runs
+    ]
+    run_vocab_sizes = np.asarray([len(t) for t in term_arrays], dtype=np.int64)
     vocab_offsets = np.concatenate([[0], np.cumsum(run_vocab_sizes)[:-1]])
-    all_terms = np.asarray(
-        [t for tl in term_lists for t in tl], dtype=object
-    )
-    uniq, inv = np.unique(all_terms, return_inverse=True)
+    max_w = max((a.dtype.itemsize for a in term_arrays if len(a)), default=1)
+    all_terms = np.concatenate([a.astype(f"S{max_w}") for a in term_arrays])
+    uniq_b, inv = np.unique(all_terms, return_inverse=True)
+    uniq = np.asarray([b.decode() for b in uniq_b], dtype=object)
 
     sort_keys = np.concatenate([
         inv[off : off + sz][np.frombuffer(r["codes"], dtype=_WIDTH_DTYPE[r["cw"]])]
@@ -543,6 +581,109 @@ def assemble_partition(
     os.replace(meta_tmp, os.path.join(meta_dir, f"part-{pid:05d}.json"))
 
     return pd.DataFrame([lineage])
+
+
+_LINEAGE_COLS = ["part", "n_terms", "n_postings", "file_md5", "fingerprint", "wall_s", "sections"]
+
+_DIRECT_BLOCK_CACHE: dict[tuple, list] = {}
+
+
+def total_tokens_from_packed(refs) -> int:
+    """Sum doc lengths from the part = -1 docmap runs of a materialized
+    packed emission — yields exact total_tokens (and so avgdl) without a
+    dedicated tokenize-count pass. Driver-side; object reads are zero-copy
+    and the decode touches only the packed dls buffers (~1B/doc)."""
+    import pyarrow.compute as pc
+
+    total = 0
+    for ref in refs:
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        sel = t.filter(pc.equal(t.column("part"), -1))
+        for row in sel.select(["dls", "lw"]).to_pylist():
+            total += int(np.frombuffer(row["dls"], dtype=_WIDTH_DTYPE[row["lw"]]).sum())
+    return total
+
+
+def _write_docmap_direct(runs: list[pa.Table], index_dir: str, offsets_ref) -> None:
+    """Decode the part = -1 docmap runs and write the docmap sink: one
+    doc_id-sorted parquet + the resume marker. Replaces a whole second
+    read+tokenize pass over the corpus (the doc lengths were already
+    computed during posting emission)."""
+    rows = pa.concat_tables(runs).to_pylist()
+    doc_ids = np.concatenate([
+        r["base_doc"] + np.frombuffer(r["docs"], dtype=_WIDTH_DTYPE[r["dw"]]).astype(np.int64)
+        for r in rows
+    ])
+    dls = np.concatenate([
+        np.frombuffer(r["dls"], dtype=_WIDTH_DTYPE[r["lw"]]).astype(np.int64) for r in rows
+    ])
+    order = np.argsort(doc_ids)
+    doc_ids, dls = doc_ids[order], dls[order]
+
+    off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
+    bases = off["bases"]
+    conv_pos = np.searchsorted(bases, doc_ids, side="right") - 1
+    conv_ids = np.asarray(off["conv_ids"], dtype=object)[conv_pos]
+    turn_idx = doc_ids - bases[conv_pos]
+
+    table = pa.table(
+        {
+            "conv_id": pa.array(conv_ids, type=pa.string()),
+            "turn_idx": pa.array(turn_idx.astype(np.int32), type=pa.int32()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_len": pa.array(dls.astype(np.int32), type=pa.int32()),
+        }
+    )
+    docmap_dir = os.path.join(index_dir, "docmap")
+    meta_dir = os.path.join(index_dir, "_meta")
+    os.makedirs(docmap_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    tmp = os.path.join(docmap_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(docmap_dir, "docmap-00000.parquet"))
+    marker_tmp = os.path.join(meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(marker_tmp, "w") as f:
+        json.dump({"n_docs": int(len(doc_ids)), "total_tokens": int(dls.sum())}, f)
+    os.replace(marker_tmp, os.path.join(meta_dir, "docmap.json"))
+
+
+def assemble_direct_batch(batch: pa.Table, refs, offsets_ref=None, **assemble_kw) -> pd.DataFrame:
+    """Direct-reduce body (cfg.reduce_strategy == "direct").
+
+    ``batch`` is a table of partition ids; ``refs`` are the object refs of
+    the MATERIALIZED packed emit output (PACKED_SCHEMA — the compressed
+    intermediate, roughly index-sized). Each block holds at most one packed
+    row per (input batch, partition), so taking a partition's rows is a
+    vectorized filter over a few-hundred-row table per block — no sort, no
+    p x q shuffle-object explosion (Ray's sort shuffle creates one transport
+    object per (map block, reduce partition) pair; at 64 x 266 that
+    scheduling dominated wall clock on this workload). Object-store reads
+    are zero-copy plasma mmaps on-node; across nodes each node fetches and
+    caches each block once. The cache key is the block set, so repeated
+    tasks in one worker reuse the deserialized tables."""
+    key = tuple(r.hex() for r in refs[:4]) + (len(refs),)
+    tables = _DIRECT_BLOCK_CACHE.get(key)
+    if tables is None:
+        tables = [t for t in ray.get(list(refs)) if t.num_rows]
+        _DIRECT_BLOCK_CACHE.clear()  # one build's blocks at a time
+        _DIRECT_BLOCK_CACHE[key] = tables
+    import pyarrow.compute as pc
+
+    outs = []
+    for pid in batch.column("part").to_pylist():
+        rows = [t.filter(pc.equal(t.column("part"), pid)) for t in tables]
+        rows = [r for r in rows if r.num_rows]
+        if not rows:
+            continue  # empty partition: no file, consistent with sort path
+        if pid == -1:
+            _write_docmap_direct(rows, assemble_kw["index_dir"], offsets_ref)
+            continue
+        outs.append(assemble_partition(pa.concat_tables(rows), **assemble_kw))
+    if not outs:
+        return pd.DataFrame({c: [] for c in _LINEAGE_COLS})
+    return pd.concat(outs, ignore_index=True)
 
 
 def scan_completed_partitions(index_dir: str, fingerprint: str) -> set[int]:
