@@ -5,14 +5,21 @@ Reference analogue: ``page_index_main`` + ``tree_parser``
 reference loads one whole document into driver memory and runs a sequential
 strategy cascade, this build is a streaming Ray Data pipeline:
 
-    read_parquet(transcripts)                       [streaming source]
-      -> groupby(conv_id) count                     [tiny shuffle: conv offsets]
-      -> map_batches(DocMapper)  -> docmap parquet  [stateless, broadcast join]
-      -> aggregate: N, sum(doc_len) -> avgdl        [tiny]
-      -> map_batches(PostingEmitter)                [actor pool, ~10-60x expand]
-      -> groupby("part").map_groups(assemble)       [THE shuffle]
-      -> postings/part-*.parquet + _meta lineage    [atomic, resumable]
-      -> meta.json + _SUCCESS
+    read_parquet(transcripts)                        [streaming source]
+      -> conv offsets: per-batch combine + range-bucketed parallel merge
+         (sample-sort) -> dense doc_id base per conversation
+      -> map_batches(emit_postings_batch)            [tokenize -> PACKED runs:
+         one row per (batch, partition); docmap rides as part=-1 runs]
+      -> reduce (cfg.reduce_strategy):
+           "direct": materialize packed runs, one assemble task per
+                     partition takes its rows from the blocks (manual hash
+                     shuffle, few large zero-copy reads; avgdl recovered
+                     from the docmap runs) [default]
+           "sort_groupby": groupby("part").map_groups(assemble) streaming
+                     sort shuffle (fallback when one build wave's packed
+                     intermediate exceeds object-store capacity)
+      -> postings/part-*.parquet + _meta lineage     [atomic, resumable]
+      -> docmap/ + meta.json + _SUCCESS
 
 Resumable from checkpoint (north_rule): completed partitions (validated
 lineage) are skipped BEFORE the shuffle; `_SUCCESS` is written only when all
