@@ -49,8 +49,12 @@ def topk_from_scores(docs: np.ndarray, scores: np.ndarray, k: int):
     score is included before the final lexsort, so the tie-break is exact."""
     n = len(docs)
     if n > max(4 * k, 1024):
-        top = np.argpartition(-scores, k - 1)[:k]
-        kth = scores[top].min()
+        # VALUE partition (no index companion array, no negated copy) to
+        # find the k-th largest score; every doc tied with it joins the
+        # candidate set, so the final lexsort tie-break stays exact.
+        # (np.argpartition here measured ~3x slower on multi-million-row
+        # inputs with heavily duplicated scores.)
+        kth = np.partition(scores, n - k)[n - k]
         cand = np.flatnonzero(scores >= kth)
         order = np.lexsort((docs[cand], -scores[cand]))[:k]
         sel = cand[order]
@@ -165,6 +169,16 @@ class SearchEngine:
     # term order, so scores are bit-identical either way
     _BINCOUNT_MAX_N = 64_000_000
 
+    def _acc_buffers(self):
+        """Engine-owned dense accumulator + touched mask, allocated once and
+        zero-restored after every query — per-query O(N) allocations
+        (bincount output, fresh bool mask) were the latency floor at
+        multi-million-doc scale."""
+        if getattr(self, "_acc_buf", None) is None:
+            self._acc_buf = np.zeros(self.n_docs, dtype=np.float64)
+            self._touched_buf = np.zeros(self.n_docs, dtype=bool)
+        return self._acc_buf, self._touched_buf
+
     def _exhaustive(self, arrays: dict[str, tuple]):
         """Exact (doc_ids asc, scores) from cached per-term arrays; float64
         accumulation in ascending (term, doc) order — identical to oracle."""
@@ -172,16 +186,23 @@ class SearchEngine:
         if len(terms) == 1:
             # a term's postings are unique, ascending doc_ids: no accumulation
             return arrays[terms[0]]
+        if self.n_docs <= self._BINCOUNT_MAX_N:
+            # dense accumulate per term in ascending-term order: each doc's
+            # contributions are added term-by-term exactly as the oracle sums
+            # them (a term's doc_ids are unique, so `buf[ids] += c` is one
+            # vectorized scatter-add per term)
+            buf, touched = self._acc_buffers()
+            for t in terms:
+                ids, c = arrays[t]
+                buf[ids] += c
+                touched[ids] = True
+            uniq = np.flatnonzero(touched)
+            vals = buf[uniq].copy()
+            buf[uniq] = 0.0
+            touched[uniq] = False
+            return uniq, vals
         docs = np.concatenate([arrays[t][0] for t in terms])
         contribs = np.concatenate([arrays[t][1] for t in terms])
-        if self.n_docs <= self._BINCOUNT_MAX_N:
-            # bincount accumulates sequentially in input order => per-doc
-            # sums happen in ascending-term order (== oracle)
-            acc = np.bincount(docs, weights=contribs, minlength=self.n_docs)
-            touched = np.zeros(self.n_docs, dtype=bool)
-            touched[docs] = True
-            uniq = np.flatnonzero(touched)
-            return uniq, acc[uniq]
         order = np.argsort(docs, kind="stable")
         docs, contribs = docs[order], contribs[order]
         uniq, starts = np.unique(docs, return_index=True)
