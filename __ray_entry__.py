@@ -177,6 +177,12 @@ def _q_doc_tokens(sf_dir: str):
     return documents_tokens(sf_dir)
 
 
+def _q_doc_tokens_bpe(sf_dir: str):
+    from pageindex_ray.pipelines.textstats import documents_tokens_bpe
+
+    return documents_tokens_bpe(sf_dir)
+
+
 def _q_doc_quality(sf_dir: str):
     from pageindex_ray.pipelines.textstats import documents_quality
 
@@ -360,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conv_topk": _q_bm25_conv_topk,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
+        "doc_tokens_bpe": _q_doc_tokens_bpe,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -480,6 +487,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_tokens": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+        """,
+        "doc_tokens_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_pieces
+            FROM documents
         """,
         "doc_quality": f"""
             WITH t AS (

@@ -27,6 +27,25 @@ def documents_tokens(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
 
 
+# BPE-style pre-tokenizer pieces: letter runs, digit runs, punctuation runs
+# (whitespace separates). RE2 syntax shared verbatim by Arrow's regex kernels
+# and DuckDB's regexp_extract_all, so the SQL oracle counts the exact same
+# pieces. (Lookahead-based GPT-2 contraction splitting is deliberately not
+# used: RE2 has no lookarounds, on either side.)
+BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def documents_tokens_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document BPE-ish piece count (training-data token accounting)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_PIECE_PATTERN)
+        return pa.table({"doc_id": batch.column("doc_id"), "n_pieces": n.cast(pa.int64())})
+
+    return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
 def documents_quality(sf_dir: str) -> "ray.data.Dataset":
     def f(batch: pa.Table) -> pa.Table:
         out = quality_features(batch)

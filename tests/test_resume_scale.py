@@ -96,3 +96,31 @@ def test_index_content_invariant_to_parallelism(ray_session, tiny_corpus, tmp_pa
     assert ra == rb
     qa.shutdown()
     qb.shutdown()
+
+
+def test_sort_groupby_reduce_matches_direct(ray_session, tiny_corpus, tmp_path):
+    """The sort_groupby fallback reduce (streaming shuffle for wave sizes
+    beyond object-store capacity) must produce the identical logical index
+    and identical golden query results as the default direct reduce."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    a = str(tmp_path / "direct")
+    b = str(tmp_path / "sorted")
+    build_index(tiny_corpus["transcripts"], a, BuildConfig(num_partitions=4))
+    build_index(
+        tiny_corpus["transcripts"], b,
+        BuildConfig(num_partitions=4, reduce_strategy="sort_groupby"),
+    )
+    ca = {t: v[:2] + tuple(map(tuple, v[2:])) for t, v in _postings_content(a).items()}
+    cb = {t: v[:2] + tuple(map(tuple, v[2:])) for t, v in _postings_content(b).items()}
+    assert ca == cb
+
+    qa = SearchEngine(a, num_shards=2)
+    qb = SearchEngine(b, num_shards=2)
+    qt = pq.read_table(tiny_corpus["queries"])
+    queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+    assert qa.search_batch(queries, k=10).to_pylist() == qb.search_batch(queries, k=10).to_pylist()
+    qa.shutdown()
+    qb.shutdown()
