@@ -92,6 +92,17 @@ def test_absent_term_query_empty(engine):
     assert engine.search("zzzabsentterm", k=10) == []
 
 
+def test_degenerate_queries(engine):
+    """Empty / punctuation-only queries return []; case folds (an UPPERCASE
+    hot term matches its lowercase postings); WAND agrees on all of them."""
+    assert engine.search("", k=10) == []
+    assert engine.search("?!, .;:", k=10) == []
+    upper = engine.search("THE", k=10)
+    lower = engine.search("the", k=10)
+    assert upper == lower and len(lower) > 0
+    assert engine.search("the", k=10, use_wand=True) == lower
+
+
 def test_posting_sample_verification(built_index, oracle_index):
     """FIXTURES.md F6: sampled postings re-verified against source turns —
     the deterministic analogue of the reference's verify_toc
