@@ -33,8 +33,10 @@ class BuildConfig:
     salt_factor: int = 8
 
     # Tokenizer map_batches sizing: posting emission expands rows ~10-60x,
-    # so the input batch is kept moderate (SURVEY.md §4.1 memory row).
-    tokenize_batch_size: int = 4096
+    # so the input batch is kept moderate (SURVEY.md §4.1 memory row) — but
+    # not tiny: the per-(batch, partition) packing loop amortizes with batch
+    # size (measured ~11% emit throughput from 4096 -> 16384 at P=512).
+    tokenize_batch_size: int = 16384
 
     # Reduce-side transport for the posting shuffle.
     #   "direct":      materialize the PACKED emit output (the compressed

@@ -37,7 +37,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..tokenizer import tokenize_batch
 from .codec import varint_encode_with_lengths
 
 POSTINGS_SCHEMA = pa.schema(
@@ -119,6 +118,23 @@ def cached_conv_bases(offsets_ref) -> dict:
     if hit is None:
         off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
         hit = dict(zip(off["conv_ids"].tolist(), off["bases"].tolist()))
+        _BROADCAST_CACHE[key] = hit
+    return hit
+
+
+def cached_conv_lookup(offsets_ref):
+    """(sorted conv_ids as numpy S-dtype, bases) for C-speed searchsorted
+    addressing, or None when conv ids aren't ASCII (dict fallback). Bytes
+    order == str order for ASCII, so the S array is sorted iff conv_ids is."""
+    key = ("sarr", str(id(offsets_ref)) if isinstance(offsets_ref, dict) else offsets_ref.hex())
+    hit = _BROADCAST_CACHE.get(key, "miss")
+    if hit == "miss":
+        off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
+        try:
+            sarr = np.asarray(off["conv_ids"], dtype=np.bytes_)
+            hit = (sarr, off["bases"])
+        except UnicodeEncodeError:
+            hit = None
         _BROADCAST_CACHE[key] = hit
     return hit
 
@@ -208,10 +224,20 @@ def emit_postings_batch(
     """
     import pyarrow.compute as pc
 
-    base_by_conv = cached_conv_bases(offsets_ref)
-    conv = batch.column("conv_id").to_pylist()
     turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-    base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
+    lookup = cached_conv_lookup(offsets_ref)
+    if lookup is not None:
+        # vectorized addressing: batch conv ids -> S-dtype, one C
+        # searchsorted against the sorted broadcast conv array
+        sarr, bases = lookup
+        conv_s = np.asarray(
+            batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=sarr.dtype
+        )
+        base = bases[np.searchsorted(sarr, conv_s)]
+    else:  # non-ASCII conv ids: per-row dict lookups
+        base_by_conv = cached_conv_bases(offsets_ref)
+        conv = batch.column("conv_id").to_pylist()
+        base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
     doc_id = base + turn
 
     # Arrow-native tokenization: lower + regex split + flatten + dictionary
@@ -256,9 +282,14 @@ def emit_postings_batch(
     # doc_len per row = surviving tokens per row
     lengths = np.bincount(parents, minlength=len(doc_id)).astype(np.int64)
 
-    # tf per (row, term): single int64-key unique
+    # tf per (row, term): single int64 key, HASH-grouped (pandas value_counts,
+    # O(n), insertion-ordered => deterministic). The packed wire format needs
+    # no posting order — the reducer's global (term, doc) sort owns it — so
+    # the previous sort-based np.unique was pure overhead.
     key = parents.astype(np.int64) * nuniq + codes
-    uk, counts = np.unique(key, return_counts=True)
+    vc = pd.Series(key).value_counts(sort=False)
+    uk = vc.index.to_numpy()
+    counts = vc.to_numpy()
     u_local = uk // nuniq
     u_code = uk % nuniq
 
