@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--b", type=float, default=0.75)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--salt-factor", type=int, default=8)
+    b.add_argument(
+        "--reduce",
+        choices=["direct", "sort_groupby"],
+        default="direct",
+        help="reduce transport: direct hash reduce (default) or Ray sort shuffle",
+    )
 
     s = sub.add_parser("search", help="BM25 top-k against a built index")
     s.add_argument("--index", required=True)
@@ -63,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
                 b=args.b,
                 block_size=args.block_size,
                 salt_factor=args.salt_factor,
+                reduce_strategy=args.reduce,
             )
             report = build_index(args.input, args.index, cfg)
             print(json.dumps(report))
