@@ -286,6 +286,24 @@ def _q_multimodal(sf_dir: str):
     return multimodal_features(ds).select_columns(["doc_id", "n_bytes", "payload_md5"])
 
 
+def _q_multimodal_frames(sf_dir: str):
+    import ray.data
+
+    from pageindex_ray.pipelines.multimodal import multimodal_frames
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return multimodal_frames(ds)
+
+
+def _q_multimodal_resize(sf_dir: str):
+    import ray.data
+
+    from pageindex_ray.pipelines.multimodal import multimodal_resize
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return multimodal_resize(ds)
+
+
 def _q_q1(sf_dir: str):
     from pageindex_ray.pipelines.relational import q1_pricing
 
@@ -377,6 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "multimodal_meta": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
         "q1_pricing": _q_q1,
         "top_revenue_orders": _q_top_orders,
         "customer_rollup": _q_customer_rollup,
@@ -565,6 +585,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH p AS (
+              SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+            ), f AS (
+              SELECT doc_id, text,
+                     unnest(range(0, CAST(floor(nb / 256) AS BIGINT), 4)) AS frame_idx
+              FROM p WHERE nb >= 256
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   md5(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+            FROM f
+        """,
+        "multimodal_resize": """
+            WITH p AS (
+              SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN nb = 0 THEN ''
+                        ELSE array_to_string(list_transform(range(0, 64),
+                             i -> substr(text, CAST(floor(i * nb / 64.0) AS BIGINT) + 1, 1)), '')
+                   END AS resized
+            FROM p
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -95,3 +95,83 @@ def multimodal_features(ds: "ray.data.Dataset", concurrency=(1, 4)) -> "ray.data
         batch_size=512,
         concurrency=concurrency,
     )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video-style payloads): the payload is
+    chunked into fixed-size frames and every ``stride``-th FULL frame is
+    emitted with its digest. A real implementation would seek/decode frames
+    with a codec handle loaded once in __init__; the chunking/striding/
+    fan-out plumbing here is the real, tested part.
+
+    Frame boundaries are defined on BYTES of the payload; the SQL oracle
+    mirrors them with substr on the source text, exact for the ASCII test
+    corpus."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fb = self.frame_bytes
+        ids = batch.column("doc_id").to_numpy()
+        out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+        for did, p in zip(ids, batch.column("payload").to_pylist()):
+            for j in range(0, len(p) // fb, self.stride):
+                out["doc_id"].append(int(did))
+                out["frame_idx"].append(j)
+                out["frame_md5"].append(hashlib.md5(p[j * fb : (j + 1) * fb]).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+                "frame_md5": pa.array(out["frame_md5"], type=pa.string()),
+            }
+        )
+
+
+class ByteResizer:
+    """Actor-pool resize stage: nearest-neighbor downsample of the payload
+    byte stream to a fixed length (the 1-D analogue of image resize; a real
+    image implementation swaps the gather for a pixel-grid gather after
+    decode). Index rule floor(i*nb/L) uses exact integer floor division —
+    identical to the oracle's floor(i*nb/L::DOUBLE) because i*nb is exactly
+    representable and /L is a power-of-two division."""
+
+    def __init__(self, out_len: int = 64):
+        self.out_len = out_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        L = self.out_len
+        grid = np.arange(L, dtype=np.int64)
+        sigs = []
+        for p in batch.column("payload").to_pylist():
+            nb = len(p)
+            if nb == 0:
+                sigs.append("")
+                continue
+            idx = (grid * nb) // L
+            sigs.append(np.frombuffer(p, dtype=np.uint8)[idx].tobytes().decode("latin-1"))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "resized": pa.array(sigs, type=pa.string())}
+        )
+
+
+def multimodal_frames(ds: "ray.data.Dataset", frame_bytes: int = 256, stride: int = 4):
+    return synthesize_payloads(ds).map_batches(
+        FrameSampler,
+        fn_constructor_args=(frame_bytes, stride),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+
+def multimodal_resize(ds: "ray.data.Dataset", out_len: int = 64):
+    return synthesize_payloads(ds).map_batches(
+        ByteResizer,
+        fn_constructor_args=(out_len,),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )

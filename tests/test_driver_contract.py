@@ -69,7 +69,8 @@ def _oracle_names():
 @pytest.mark.parametrize("name", [
     "docmap", "corpus_stats", "term_stats", "bm25_topk", "bm25_conv_topk",
     "role_stats", "doc_tokens", "doc_tokens_bpe", "doc_quality", "doc_langid", "doc_fingerprint",
-    "dedup_exact", "dedup_jaccard", "ann_topk", "multimodal_meta", "q1_pricing",
+    "dedup_exact", "dedup_jaccard", "ann_topk", "multimodal_meta",
+    "multimodal_frames", "multimodal_resize", "q1_pricing",
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",
     "conv_text_fingerprint", "conv_summaries", "event_type_mode",
     "events_tumbling", "parts_by_brand", "embedding_near_dup",
