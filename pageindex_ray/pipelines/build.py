@@ -249,7 +249,7 @@ def build_index(
             lineage = parts_ds.map_batches(
                 partial(assemble_direct_batch, refs=refs, offsets_ref=offsets_ref, **assemble_kw),
                 batch_format="pyarrow",
-                batch_size=1,
+                batch_size=4,
             ).to_pandas()
             del refs, packed
             _mark("direct_assemble", t0)

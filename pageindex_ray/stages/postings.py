@@ -702,16 +702,28 @@ def assemble_direct_batch(batch: pa.Table, refs, offsets_ref=None, **assemble_kw
         _DIRECT_BLOCK_CACHE[key] = tables
     import pyarrow.compute as pc
 
+    pids = batch.column("part").to_pylist()
+    # one scan per block for the whole pid batch, then per-pid slicing of the
+    # (much smaller) combined table — with hundreds of blocks x hundreds of
+    # partitions, per-pid block scans were a visible fraction of reduce time
+    pid_set = pa.array(pids, type=pa.int32())
+    mine = [t.filter(pc.is_in(t.column("part"), value_set=pid_set)) for t in tables]
+    mine = [t for t in mine if t.num_rows]
+    combined = pa.concat_tables(mine) if mine else None
+
     outs = []
-    for pid in batch.column("part").to_pylist():
-        rows = [t.filter(pc.equal(t.column("part"), pid)) for t in tables]
-        rows = [r for r in rows if r.num_rows]
-        if not rows:
+    for pid in pids:
+        rows = (
+            combined.filter(pc.equal(combined.column("part"), pid))
+            if combined is not None
+            else None
+        )
+        if rows is None or rows.num_rows == 0:
             continue  # empty partition: no file, consistent with sort path
         if pid == -1:
-            _write_docmap_direct(rows, assemble_kw["index_dir"], offsets_ref)
+            _write_docmap_direct([rows], assemble_kw["index_dir"], offsets_ref)
             continue
-        outs.append(assemble_partition(pa.concat_tables(rows), **assemble_kw))
+        outs.append(assemble_partition(rows, **assemble_kw))
     if not outs:
         return pd.DataFrame({c: [] for c in _LINEAGE_COLS})
     return pd.concat(outs, ignore_index=True)
