@@ -23,12 +23,20 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+from pageindex_ray.oracle import sidecars as sc
+from pageindex_ray.oracle.sidecars import ensure_sidecars
 from pageindex_ray.sources.transcripts import ensure_corpus, queries_path, transcripts_path
 from pageindex_ray.tokenizer import SQL_TOKENIZE
 
-# Materialize the corpora the driver will touch (cheap, idempotent, no Ray).
+# Materialize the corpora + sketch sidecars the driver will touch (cheap,
+# idempotent, no Ray). The sidecars make the seeded sketch pipelines
+# (MinHash/SimHash/hyperplane-LSH/IVF) fully SQL-checkable: DuckDB replicates
+# bucketing, guards, verification and clustering over the deterministic
+# per-item sketch values (see pageindex_ray/oracle/sidecars.py).
 for _sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
     ensure_corpus(_sf)
+_SIDE = ensure_sidecars("/root/testdata/sf0.01")
+ensure_sidecars("/root/testdata/sf0.001")
 
 _INDEX_ROOT = "/tmp/pageindex_ray_index"
 
@@ -219,8 +227,15 @@ def _q_dedup_minhash(sf_dir: str):
 
     from pageindex_ray.pipelines.dedup import minhash_dedup
 
+    ensure_sidecars(sf_dir)
     ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return minhash_dedup(ds, jaccard_threshold=0.8)
+    return minhash_dedup(
+        ds,
+        jaccard_threshold=sc.MINHASH_THRESHOLD,
+        num_perm=sc.MINHASH_NUM_PERM,
+        num_bands=sc.MINHASH_NUM_BANDS,
+        shingle_k=sc.MINHASH_SHINGLE_K,
+    )
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -230,8 +245,9 @@ def _q_dedup_simhash(sf_dir: str):
 
     from pageindex_ray.pipelines.dedup import simhash_candidates
 
+    ensure_sidecars(sf_dir)
     ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return simhash_candidates(ds)
+    return simhash_candidates(ds, max_hamming=sc.SIMHASH_MAX_HAMMING)
 
 
 def _embedding_queries(sf_dir: str, n: int = 5):
@@ -272,9 +288,19 @@ def _q_ann_ivf(sf_dir: str):
 
     from pageindex_ray.pipelines.ann import ivf_ann
 
-    ids, mat = _embedding_queries(sf_dir)
+    ensure_sidecars(sf_dir)
+    ids, mat = _embedding_queries(sf_dir, n=sc.IVF_N_QUERIES)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    return ivf_ann(ds, ids, mat, k=10)
+    out = ivf_ann(
+        ds,
+        ids,
+        mat,
+        k=10,
+        n_clusters=sc.IVF_N_CLUSTERS,
+        nprobe=sc.IVF_NPROBE,
+        sample_rows=sc.IVF_SAMPLE_ROWS,
+    )
+    return out.select(["query_id", "rank", "vec_id"])
 
 
 def _q_multimodal(sf_dir: str):
@@ -354,7 +380,53 @@ def _q_embedding_near_dup(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    return embedding_near_dup(ds, threshold=0.3).select(["vec_a", "vec_b"])
+    return embedding_near_dup(ds, threshold=0.3).select_columns(["vec_a", "vec_b"])
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import embedding_near_dup_lsh
+
+    ensure_sidecars(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_lsh(
+        ds,
+        threshold=sc.HYPER_THRESHOLD,
+        n_planes=sc.HYPER_N_PLANES,
+        n_bands=sc.HYPER_N_BANDS,
+        seed=sc.HYPER_SEED,
+        max_bucket=sc.HYPER_MAX_BUCKET,
+    ).select_columns(["vec_a", "vec_b"])
+
+
+def _q_bm25_segment_topk(sf_dir: str):
+    import pyarrow as pa
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        rows = {"query_id": [], "rank": [], "conv_id": [], "seg_start": []}
+        for qid, qtext in _load_queries(sf_dir):
+            for r in eng.search(qtext, k=10, granularity="segment", segment_span=4):
+                rows["query_id"].append(qid)
+                rows["rank"].append(r["rank"])
+                rows["conv_id"].append(r["conv_id"])
+                rows["seg_start"].append(r["seg_start"])
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "rank": pa.array(rows["rank"], type=pa.int32()),
+                "conv_id": pa.array(rows["conv_id"], type=pa.string()),
+                "seg_start": pa.array(rows["seg_start"], type=pa.int64()),
+            }
+        )
+    finally:
+        eng.shutdown()
 
 
 def _q_conv_fingerprint(sf_dir: str):
@@ -408,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "parts_by_brand": _q_parts_by_brand,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "bm25_segment_topk": _q_bm25_segment_topk,
     }
 
 
@@ -434,9 +508,10 @@ WITH base AS (
 ), stats AS (
   SELECT count(*) AS n, sum(dl) AS total FROM docs
 ), tok AS (
-  SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM docs
+  SELECT doc_id, conv_id, turn_idx, dl, unnest(toks) AS term FROM docs
 ), tf AS (
-  SELECT term, doc_id, any_value(conv_id) AS conv_id, any_value(dl) AS dl, count(*) AS tf
+  SELECT term, doc_id, any_value(conv_id) AS conv_id, any_value(turn_idx) AS turn_idx,
+         any_value(dl) AS dl, count(*) AS tf
   FROM tok GROUP BY term, doc_id
 ), dft AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -445,6 +520,7 @@ WITH base AS (
   FROM read_parquet('{_QPATH}')
 ), scored AS (
   SELECT q.query_id, tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         any_value(tf.turn_idx) AS turn_idx,
          sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
               * tf.tf * 2.5
               / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
@@ -486,6 +562,19 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "bm25_segment_topk": _BM25_CORE + """
+            , seg AS (
+              SELECT query_id, conv_id, (turn_idx // 4) * 4 AS seg_start, sum(score) AS sscore
+              FROM (SELECT * FROM scored ORDER BY doc_id)
+              GROUP BY query_id, conv_id, (turn_idx // 4) * 4
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sscore DESC, conv_id ASC, seg_start ASC) - 1 AS INTEGER) AS rank,
+                   conv_id,
+                   CAST(seg_start AS BIGINT) AS seg_start
+            FROM seg
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sscore DESC, conv_id ASC, seg_start ASC) <= 10
         """,
         "bm25_conv_topk": _BM25_CORE + """
             , conv AS (
@@ -700,8 +789,91 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
-        # dedup_minhash, dedup_simhash, ann_ivf: not SQL-expressible
-        # (seeded sketch families / probed clustering) -> rows-only checks;
-        # their correctness is covered by pytest (planted-duplicate fixtures,
-        # recall vs brute force).
+        # ------------------------------------------------------------------
+        # sketch pipelines: SQL twins over the deterministic sidecar parquet
+        # (pageindex_ray/oracle/sidecars.py) — the per-item sketch values are
+        # precomputed once (pure numpy, identical seeded kernels); DuckDB
+        # replicates bucketing, skew guards, pair dedup, exact verification
+        # and clustering, so the whole DISTRIBUTED pipeline is value-checked.
+        # ------------------------------------------------------------------
+        "dedup_minhash": f"""
+            WITH RECURSIVE bands AS (SELECT * FROM read_parquet('{_SIDE["minhash_bands"]}')),
+            sizes AS (SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY band_id, band_key),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a
+              JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+              JOIN sizes s ON s.band_id = a.band_id AND s.band_key = a.band_key
+              WHERE s.n BETWEEN 2 AND {sc.MINHASH_MAX_BUCKET}
+            ),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                          WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                          ELSE [] END AS s
+              FROM t
+            ),
+            edges AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+              WHERE (len(sa.s) = 0 AND len(sb.s) = 0)
+                 OR CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1)
+                    >= {sc.MINHASH_THRESHOLD}
+            ),
+            und AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION ALL SELECT doc_b, doc_a FROM edges),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
+            )
+            SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+            FROM walk GROUP BY node
+        """,
+        "dedup_simhash": f"""
+            WITH s AS (SELECT * FROM read_parquet('{_SIDE["simhash"]}'))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {sc.SIMHASH_MAX_HAMMING}
+        """,
+        "ann_ivf": f"""
+            WITH a AS (SELECT * FROM read_parquet('{_SIDE["ivf_assign"]}')),
+            p AS (SELECT * FROM read_parquet('{_SIDE["ivf_probes"]}')),
+            q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < {sc.IVF_N_QUERIES}
+            ), s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q
+              JOIN p ON p.query_id = q.query_id
+              JOIN a ON a.cluster = p.cluster
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) - 1 AS INTEGER) AS rank,
+                   vec_id
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= 10
+        """,
+        "embedding_near_dup_lsh": f"""
+            WITH b AS (SELECT * FROM read_parquet('{_SIDE["hyperplane_bands"]}')),
+            sizes AS (SELECT band_id, band_key, count(*) AS n FROM b GROUP BY band_id, band_key),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+              FROM b x JOIN b y ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.vec_id < y.vec_id
+              JOIN sizes s ON s.band_id = x.band_id AND s.band_key = x.band_key
+              WHERE s.n BETWEEN 2 AND {sc.HYPER_MAX_BUCKET}
+            )
+            SELECT c.vec_a, c.vec_b
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= {sc.HYPER_THRESHOLD}
+        """,
     }

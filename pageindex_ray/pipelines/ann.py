@@ -6,9 +6,19 @@ its per-batch top-k per query (a correct partial: the global top-k is a
 subset of the union of per-batch top-k). The driver merges Q x (#batches x k)
 partial rows — tiny.
 
-Scale path: ``ivf_ann`` — seeded k-means-lite centroids (sampled fit on the
-driver, broadcast), cluster assignment as a map_batches stage, and search
-restricted to the ``nprobe`` closest clusters. Exact on the probed subset.
+All-pairs similarity (``embedding_near_dup``) is a distributed BLOCK-PAIR
+join: the dataset is materialized as object-store blocks once, and one task
+per (block_i, block_j) pair computes that tile of the similarity matrix —
+each task holds exactly two blocks, the driver holds only block refs. Exact,
+and the inherent O(n^2) work is spread over B(B+1)/2 bounded tasks. The
+approximate scale path is ``embedding_near_dup_lsh``: seeded random-hyperplane
+band keys -> bucket groupby -> per-bucket exact verify (the MinHash-LSH shape
+from pipelines/dedup.py applied to vectors).
+
+IVF (``ivf_ann``): seeded k-means-lite centroids (sampled fit on the driver,
+broadcast), per-batch cluster assignment, and search restricted to the
+``nprobe`` closest clusters — scored one CLUSTER at a time (grouped matmul,
+no per-query Python loop). Exact on the probed subset.
 """
 
 from __future__ import annotations
@@ -50,7 +60,14 @@ class CosineTopK:
         k = min(self.k + 1, sims.shape[1])  # +1 allows dropping self-match later
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            if k < len(row):
+                # VALUE partition + include every row tied with the k-th
+                # value, so the (sim desc, vec_id asc) tie-break at the merge
+                # stays exact even when k+ equal sims fall in one batch
+                kth = np.partition(row, len(row) - k)[len(row) - k]
+                idx = np.flatnonzero(row >= kth)
+            else:
+                idx = np.arange(len(row))
             out_q.extend([int(self.query_ids[qi])] * len(idx))
             out_v.extend(vec_ids[idx].tolist())
             out_s.extend(row[idx].tolist())
@@ -63,24 +80,7 @@ class CosineTopK:
         )
 
 
-def brute_force_ann(
-    ds: "ray.data.Dataset",
-    query_ids: np.ndarray,
-    query_matrix: np.ndarray,
-    k: int = 10,
-    exclude_self: bool = True,
-) -> pa.Table:
-    """Exact cosine top-k for each query vector. Tie-break (sim desc, vec_id
-    asc). Returns (query_id, rank, vec_id, sim)."""
-    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": query_matrix})
-    partials = ds.map_batches(
-        CosineTopK,
-        fn_constructor_args=(ref, k),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 8),
-    ).to_pandas()
-
+def _merge_partials(partials, k: int, exclude_self: bool) -> pa.Table:
     rows = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
     for qid, g in partials.groupby("query_id", sort=True):
         if exclude_self:
@@ -101,53 +101,176 @@ def brute_force_ann(
     )
 
 
-def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.3) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b and
-    cosine >= threshold.
-
-    Sandbox path: the (small) full matrix is broadcast once and every batch
-    computes its block-row of the similarity matrix — O(n^2/B) per batch,
-    embarrassingly parallel, no shuffle. At 100 TB the same kernel runs per
-    LSH bucket (random-hyperplane bucketing -> groupby -> per-bucket block
-    matmul) so the quadratic term is bounded by bucket size; the bucketing
-    stage is exactly the MinHash-LSH shape in pipelines/dedup.py.
-    """
-    full = ds.to_pandas().sort_values("vec_id")
-    ids_all = full["vec_id"].to_numpy(np.int64)
-    mat_all = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    norm_all = np.linalg.norm(mat_all, axis=1)
-    norm_all[norm_all == 0] = 1.0
-    ref = ray.put({"ids": ids_all, "mat": mat_all, "norm": norm_all})
-
-    class BlockRow:
-        def __init__(self):
-            d = ray.get(ref)
-            self.ids, self.mat, self.norm = d["ids"], d["mat"], d["norm"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column("vec_id").to_numpy()
-            bm = _as_matrix(batch.column("embedding"))
-            bnorm = np.linalg.norm(bm, axis=1)
-            bnorm[bnorm == 0] = 1.0
-            sims = (bm @ self.mat.T) / (bnorm[:, None] * self.norm[None, :])
-            ai, bj = np.nonzero(sims >= threshold)
-            a = bids[ai]
-            bcol = self.ids[bj]
-            keep = a < bcol  # dedupe: emit each unordered pair once
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep], type=pa.int64()),
-                    "vec_b": pa.array(bcol[keep], type=pa.int64()),
-                    "sim": pa.array(sims[ai[keep], bj[keep]], type=pa.float64()),
-                }
-            )
-
-    out = ds.map_batches(
-        BlockRow, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+def brute_force_ann(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k for each query vector. Tie-break (sim desc, vec_id
+    asc). Returns (query_id, rank, vec_id, sim)."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": query_matrix})
+    partials = ds.map_batches(
+        CosineTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
     ).to_pandas()
-    out = out.sort_values(["vec_a", "vec_b"], kind="stable").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _merge_partials(partials, k, exclude_self)
 
+
+# --------------------------------------------------------------------------
+# all-pairs near-duplicate
+# --------------------------------------------------------------------------
+
+def _tile_sims(ta: pa.Table, tb: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids_a = ta.column("vec_id").to_numpy().astype(np.int64)
+    ids_b = tb.column("vec_id").to_numpy().astype(np.int64)
+    ma, mb = _as_matrix(ta.column("embedding")), _as_matrix(tb.column("embedding"))
+    na = np.linalg.norm(ma, axis=1)
+    nb = np.linalg.norm(mb, axis=1)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    sims = (ma @ mb.T) / (na[:, None] * nb[None, :])
+    return ids_a, ids_b, sims
+
+
+def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.3) -> "ray.data.Dataset":
+    """EXACT embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
+    vec_a < vec_b and cosine >= threshold.
+
+    Distributed block-pair join: the dataset's object-store blocks are
+    enumerated once (refs only on the driver — the matrix itself is never
+    driver-materialized) and one task per (i, j), i <= j, block pair computes
+    its tile of the similarity matrix with a single matmul. Memory per task
+    is two blocks; total work is the inherent O(n^2) of an exact all-pairs,
+    spread over B(B+1)/2 independent tasks. For the sub-quadratic approximate
+    path see ``embedding_near_dup_lsh``.
+    """
+    mat = ds.select_columns(["vec_id", "embedding"]).materialize()
+    refs = [r for r in mat.to_arrow_refs()]
+    nb = len(refs)
+    tile_items = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    def tile(batch: pa.Table) -> pa.Table:
+        out = {"vec_a": [], "vec_b": [], "sim": []}
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            ta = ray.get(refs[i])
+            tb = ray.get(refs[j])
+            ids_a, ids_b, sims = _tile_sims(ta, tb)
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids_a[ai], ids_b[bj]
+            keep = a < b  # dedupe: emit each unordered pair once (handles i == j)
+            out["vec_a"].append(a[keep])
+            out["vec_b"].append(b[keep])
+            out["sim"].append(sims[ai[keep], bj[keep]])
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out["vec_a"]), type=pa.int64()),
+                "vec_b": pa.array(np.concatenate(out["vec_b"]), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out["sim"]), type=pa.float64()),
+            }
+        )
+
+    return ray.data.from_items(tile_items).map_batches(
+        tile, batch_format="pyarrow", batch_size=1
+    )
+
+
+class HyperplaneBander:
+    """map_batches stage: sign-bit LSH band keys for each embedding.
+    ``n_bands`` tables of ``n_planes`` seeded random hyperplanes each; docs
+    agreeing on every sign in some band land in the same bucket."""
+
+    def __init__(self, dim: int, n_planes: int = 8, n_bands: int = 4, seed: int = 13):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bands, n_planes, dim))
+        self.n_bands = n_bands
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _as_matrix(batch.column("embedding"))
+        n = len(ids)
+        band_ids, keys = [], []
+        for t in range(self.n_bands):
+            bits = (m @ self.planes[t].T) > 0  # (n, n_planes)
+            keys.append(bits @ self.weights)
+            band_ids.append(np.full(n, t, dtype=np.int32))
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if isinstance(emb, pa.ChunkedArray):  # older pyarrow keeps the wrapper
+            emb = emb.chunk(0) if emb.num_chunks else pa.array([], type=emb.type)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(band_ids), type=pa.int32()),
+                "band_key": pa.array(np.concatenate(keys), type=pa.int64()),
+                "vec_id": pa.array(np.tile(ids, self.n_bands), type=pa.int64()),
+                "embedding": pa.concat_arrays([emb] * self.n_bands),
+            }
+        )
+
+
+def embedding_near_dup_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 13,
+    max_bucket: int = 4000,
+) -> "ray.data.Dataset":
+    """Approximate near-dup pairs via random-hyperplane LSH bucketing:
+    candidate pairs share a full sign pattern in at least one band; exact
+    cosine verify per bucket. Sub-quadratic; recall grows with n_bands and
+    shrinks with n_planes (tested against the exact block-pair join)."""
+    head = ds.limit(1).take_batch(batch_format="pyarrow")
+    dim = len(head.column("embedding")[0])
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())])
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return schema.empty_table()
+        m = _as_matrix(g.column("embedding"))[order]
+        ids = ids[order]
+        norm = np.linalg.norm(m, axis=1)
+        norm[norm == 0] = 1.0
+        sims = (m @ m.T) / (norm[:, None] * norm[None, :])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ia][keep], type=pa.int64()),
+                "vec_b": pa.array(ids[ib][keep], type=pa.int64()),
+                "sim": pa.array(sims[ia, ib][keep], type=pa.float64()),
+            },
+            schema=schema,
+        )
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1).cast(schema)
+
+    pairs = (
+        ds.map_batches(
+            HyperplaneBander,
+            fn_constructor_args=(dim, n_planes, n_bands, seed),
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=(1, 8),
+        )
+        .groupby(["band_id", "band_key"])
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(first, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# IVF
+# --------------------------------------------------------------------------
 
 def fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 11) -> np.ndarray:
     """Seeded k-means-lite on a driver-side sample (Lloyd, few iterations)."""
@@ -164,6 +287,18 @@ def fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int
     return cent
 
 
+def assign_clusters(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment (squared L2, ties to the lowest id)."""
+    d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def ivf_probe_sets(query_matrix: np.ndarray, cent: np.ndarray, nprobe: int) -> np.ndarray:
+    """(Q, nprobe) closest-centroid ids per query (deterministic argsort)."""
+    qd = ((query_matrix[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+
+
 def ivf_ann(
     ds: "ray.data.Dataset",
     query_ids: np.ndarray,
@@ -175,43 +310,59 @@ def ivf_ann(
     exclude_self: bool = True,
 ) -> pa.Table:
     """IVF-style ANN: restrict the scan to the nprobe closest centroids per
-    query. Exact within the probed subset; recall measured against
-    brute_force_ann in tests."""
+    query. Exact within the probed subset (tie-inclusive per-batch partials,
+    same merge as brute force); recall vs brute_force_ann measured in tests
+    and pinned by the driver oracle (probed-subset SQL twin over the
+    deterministic assignment sidecar)."""
     sample = ds.limit(sample_rows).to_pandas()
     sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     cent = fit_centroids(sm, n_clusters)
     cent_ref = ray.put(cent)
 
-    qd = ((query_matrix[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
-    probe_sets = [set(map(int, row)) for row in probe]
+    probe = ivf_probe_sets(query_matrix, cent, nprobe)  # (Q, nprobe)
+    # cluster -> array of query indices probing it (grouped scoring)
+    queries_of_cluster: dict[int, np.ndarray] = {}
+    for c in range(len(cent)):
+        qs = np.flatnonzero((probe == c).any(axis=1))
+        if len(qs):
+            queries_of_cluster[int(c)] = qs
+
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": query_matrix})
 
     class ProbedTopK(CosineTopK):
+        """Scores one CLUSTER at a time: batch rows are grouped by assigned
+        centroid and each present cluster gets one (Q_c x n_c) matmul for
+        exactly the queries probing it — no per-query Python loop."""
+
         def __init__(self, queries_ref, k):
             super().__init__(queries_ref, k)
             self.cent = ray.get(cent_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _as_matrix(batch.column("embedding"))
-            d = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            vec_ids = batch.column("vec_id").to_numpy()
-            parts = []
-            for qi, pset in enumerate(probe_sets):
-                mask = np.isin(assign, list(pset))
-                if not mask.any():
+            vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            assign = assign_clusters(m, self.cent)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            out_q, out_v, out_s = [], [], []
+            for c in np.unique(assign):
+                qs = queries_of_cluster.get(int(c))
+                if qs is None:
                     continue
-                sub = m[mask]
-                subids = vec_ids[mask]
-                norms = np.linalg.norm(sub, axis=1)
-                norms[norms == 0] = 1.0
-                row = (self.qm[qi] @ sub.T) / (self.qnorm[qi] * norms)
-                kk = min(self.k + 1, len(row))
-                idx = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
-                parts.append((qi, subids[idx], row[idx]))
-            out_q = [int(self.query_ids[qi]) for qi, ids, _ in parts for _ in ids]
-            out_v = [int(v) for _, ids, _ in parts for v in ids]
-            out_s = [float(s) for _, _, ss in parts for s in ss]
+                rows = np.flatnonzero(assign == c)
+                sub, subids, subn = m[rows], vec_ids[rows], norms[rows]
+                sims = (self.qm[qs] @ sub.T) / (self.qnorm[qs, None] * subn[None, :])
+                kk = min(self.k + 1, sims.shape[1])
+                for qi_local, qi in enumerate(qs):
+                    row = sims[qi_local]
+                    if kk < len(row):
+                        kth = np.partition(row, len(row) - kk)[len(row) - kk]
+                        idx = np.flatnonzero(row >= kth)
+                    else:
+                        idx = np.arange(len(row))
+                    out_q.extend([int(self.query_ids[qi])] * len(idx))
+                    out_v.extend(subids[idx].tolist())
+                    out_s.extend(row[idx].tolist())
             return pa.table(
                 {
                     "query_id": pa.array(out_q, type=pa.int64()),
@@ -220,7 +371,6 @@ def ivf_ann(
                 }
             )
 
-    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": query_matrix})
     partials = ds.map_batches(
         ProbedTopK,
         fn_constructor_args=(ref, k),
@@ -228,21 +378,4 @@ def ivf_ann(
         batch_size=4096,
         concurrency=(1, 8),
     ).to_pandas()
-
-    rows = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
-    for qid, g in partials.groupby("query_id", sort=True):
-        if exclude_self:
-            g = g[g["vec_id"] != qid]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        rows["query_id"].extend([int(qid)] * len(g))
-        rows["rank"].extend(range(len(g)))
-        rows["vec_id"].extend(g["vec_id"].astype(np.int64).tolist())
-        rows["sim"].extend(g["sim"].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(rows["query_id"], type=pa.int64()),
-            "rank": pa.array(rows["rank"], type=pa.int32()),
-            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-            "sim": pa.array(rows["sim"], type=pa.float64()),
-        }
-    )
+    return _merge_partials(partials, k, exclude_self)

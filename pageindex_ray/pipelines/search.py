@@ -72,6 +72,25 @@ class SearchEngine:
 
     def __init__(self, index_dir: str, num_shards: int = 8):
         self.meta = load_meta(index_dir)
+        # Serving a truncated index would silently return empty postings for
+        # every term hashed to a lost partition: verify the commit marker and
+        # that every partition recorded in parts_present is on disk. A pid
+        # absent from parts_present is a genuinely empty partition (no terms
+        # hashed to it) and legitimately has no file.
+        if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"index at {index_dir} has no _SUCCESS marker: build incomplete or interrupted"
+            )
+        missing = [
+            pid
+            for pid in self.meta.get("parts_present", [])
+            if not os.path.exists(os.path.join(index_dir, "postings", f"part-{pid:05d}.parquet"))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"index at {index_dir} is missing committed posting partitions {missing}; "
+                "refusing to serve silently wrong (empty) results"
+            )
         self.k1 = self.meta["config"]["k1"]
         self.b = self.meta["config"]["b"]
         self.avgdl = self.meta["avgdl"]
@@ -237,15 +256,46 @@ class SearchEngine:
     # ------------------------------------------------------------------- API
 
     def search(
-        self, query_text: str, k: int = 10, granularity: str = "turn", use_wand: bool = False
+        self,
+        query_text: str,
+        k: int = 10,
+        granularity: str = "turn",
+        use_wand: bool = False,
+        segment_span: int = 4,
     ) -> list[dict]:
+        """granularity: "turn" (doc top-k), "conv" (per-conversation rollup)
+        or "segment" (contiguous ``segment_span``-turn spans — the mid-level
+        hierarchy node between turn and conversation, the analogue of the
+        reference's interior tree nodes, /root/reference/pageindex/utils.py:354-400)."""
         terms = sorted(set(tokenize(query_text)))
-        if granularity == "conv":
+        if granularity in ("conv", "segment"):
             arrays = self._term_arrays(terms)
             if not arrays:
                 return []
             docs, scores = self._exhaustive(arrays)
             conv_idx = np.searchsorted(self.conv_bases, docs, side="right") - 1
+            if granularity == "segment":
+                turn = docs - self.conv_bases[conv_idx]
+                seg_start = (turn // segment_span) * segment_span
+                # docs ascending => (conv, seg) keys ascending => reduceat
+                # accumulates each segment's turns in doc order (== oracle).
+                # composite fits int64 while #convs < 2^31 (64M-doc regime).
+                key = conv_idx.astype(np.int64) * (1 << 32) + seg_start
+                uniq, starts = np.unique(key, return_index=True)
+                seg_scores = np.add.reduceat(scores, starts)
+                u_conv = (uniq >> 32).astype(np.int64)
+                u_seg = (uniq & ((1 << 32) - 1)).astype(np.int64)
+                names = self.conv_ids[u_conv]
+                order = np.lexsort((u_seg, names, -seg_scores))[:k]
+                return [
+                    {
+                        "rank": r,
+                        "conv_id": str(names[i]),
+                        "seg_start": int(u_seg[i]),
+                        "score": float(seg_scores[i]),
+                    }
+                    for r, i in enumerate(order)
+                ]
             # docs ascending => per-conv accumulation in doc order (== oracle)
             uniq, starts = np.unique(conv_idx, return_index=True)
             conv_scores = np.add.reduceat(scores, starts)

@@ -81,8 +81,8 @@ def compute_conv_offsets(ds: "ray.data.Dataset", with_tokens: bool = True) -> di
             "turn_idx": batch.column("turn_idx"),
         }
         if with_tokens:
-            cols["n_tok"] = pc.count_substring_regex(
-                pc.utf8_lower(batch.column("text")), TOKEN_PATTERN
+            cols["n_tok"] = pc.fill_null(
+                pc.count_substring_regex(pc.utf8_lower(batch.column("text")), TOKEN_PATTERN), 0
             ).cast(pa.int64())
         df = pa.table(cols).to_pandas()
         g = df.groupby("conv_id", sort=False).agg(**agg_spec).reset_index()
@@ -161,8 +161,10 @@ def docmap_batch(batch: pa.Table, offsets_ref) -> pa.Table:
     doc_id = base + turn
     # doc_len == len(tokenize(text)): count of non-overlapping token-regex
     # matches on the lowercased text — identical to the shared tokenizer.
+    # Null text tokenizes to [] everywhere else (posting emission, oracle);
+    # coalesce the propagated null count to 0 so the docmap agrees.
     lower = pc.utf8_lower(batch.column("text"))
-    doc_len = pc.count_substring_regex(lower, TOKEN_PATTERN)
+    doc_len = pc.fill_null(pc.count_substring_regex(lower, TOKEN_PATTERN), 0)
     return pa.table(
         {
             "conv_id": batch.column("conv_id"),

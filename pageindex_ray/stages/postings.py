@@ -553,6 +553,16 @@ def assemble_partition(
     l_off[-1] = l_cum[-1]
 
     def _binary_array(payload: bytes, offsets: np.ndarray) -> pa.Array:
+        # pa.binary() carries int32 offsets; a partition whose varint payload
+        # exceeded 2 GiB would silently wrap them and corrupt the committed
+        # shard. Fail the partition loudly instead — the fix at scale is more
+        # partitions (num_partitions), not bigger ones.
+        if len(payload) >= 2**31:
+            raise ValueError(
+                f"partition {pid} varint payload is {len(payload)} bytes, "
+                "overflowing binary int32 offsets; rebuild with a larger "
+                "num_partitions so each partition stays under 2 GiB"
+            )
         return pa.BinaryArray.from_buffers(
             pa.binary(),
             nb,

@@ -74,6 +74,8 @@ def _oracle_names():
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",
     "conv_text_fingerprint", "conv_summaries", "event_type_mode",
     "events_tumbling", "parts_by_brand", "embedding_near_dup",
+    "dedup_minhash", "dedup_simhash", "ann_ivf", "embedding_near_dup_lsh",
+    "bm25_segment_topk",
 ])
 def test_query_matches_oracle(ray_session, contract, con, name):
     sqls = contract.oracle_sql()
@@ -87,11 +89,7 @@ def test_query_matches_oracle(ray_session, contract, con, name):
     pd.testing.assert_frame_equal(ours, theirs, check_dtype=False, rtol=1e-9, atol=1e-12)
 
 
-def test_rows_only_queries_run(ray_session, contract):
-    """Entries without SQL oracles must still execute and return rows-shaped
-    output (the driver records a weaker rows-only check for these)."""
-    q = contract.queries()
-    for name in ("dedup_minhash", "dedup_simhash", "ann_ivf"):
-        out = _to_pandas(q[name](SF))
-        assert out is not None
-        assert len(out.columns) > 0
+def test_every_query_has_an_oracle(contract):
+    """Round 2 closed the no_oracle gap: every queries() entry must have a
+    SQL twin (sketch pipelines via the deterministic sidecar parquet)."""
+    assert set(contract.queries()) == set(contract.oracle_sql())
