@@ -91,7 +91,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
 
     t0 = time.perf_counter()
-    eng = SearchEngine(index_dir, num_shards=min(8, num_cpus))
+    # shard pool (term-partitioned decode) + doc-range scorer pool
+    # (distributed accumulate/top-k, "auto": engages at >=1M docs) both scale
+    # with the CPU count, so query latency at the big scales tracks cluster
+    # size instead of one driver core.
+    eng = SearchEngine(index_dir, num_shards=min(8, num_cpus), num_scorers="auto")
     timings["engine_warmup"] = time.perf_counter() - t0
 
     # batch throughput over the fixed query set

@@ -39,6 +39,14 @@ class BuildConfig:
     tokenize_batch_size: int = 16384
 
     # Reduce-side transport for the posting shuffle.
+    #   "auto":        (default) pick per build: the packed-intermediate size
+    #                  is ESTIMATED by running the real emit kernel over the
+    #                  hot-term sample and extrapolating bytes/turn; if the
+    #                  estimate (x safety margin) fits the configured budget
+    #                  (``packed_budget_bytes`` or ``object_store_fraction``
+    #                  of the cluster object store), use "direct", else fall
+    #                  back to "sort_groupby". The chosen strategy is
+    #                  recorded in the build report.
     #   "direct":      materialize the PACKED emit output (the compressed
     #                  intermediate, ~bytes-of-index sized) and let each
     #                  partition's assemble task take its rows straight from
@@ -51,8 +59,14 @@ class BuildConfig:
     #   "sort_groupby": Ray Data's groupby(part).map_groups sort shuffle —
     #                  streaming, never materializes the intermediate; the
     #                  fallback when a single wave must exceed object-store
-    #                  capacity.
-    reduce_strategy: str = "direct"
+    #                  capacity. Identical logical postings either way
+    #                  (test_sort_groupby_reduce_matches_direct).
+    reduce_strategy: str = "auto"
+
+    # Budget for the "auto" decision: absolute bytes, or (when None) this
+    # fraction of the cluster's object-store capacity.
+    packed_budget_bytes: int | None = None
+    object_store_fraction: float = 0.5
 
     # Query engine
     top_k: int = 10

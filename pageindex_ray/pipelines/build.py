@@ -35,6 +35,7 @@ import time
 from dataclasses import asdict
 from functools import partial
 
+import numpy as np
 import ray
 import ray.data
 
@@ -50,6 +51,102 @@ from ..stages.postings import (
     total_tokens_from_packed,
 )
 from ..tokenizer import tokenize
+
+
+def _input_files(transcripts_path) -> list[str]:
+    path = transcripts_path if isinstance(transcripts_path, str) else transcripts_path[0]
+    paths = [path] if isinstance(transcripts_path, str) else list(transcripts_path)
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p)))
+        else:
+            out.append(p)
+    return out
+
+
+def count_input_rows(transcripts_path) -> int:
+    """Exact row count from parquet footers — no data read."""
+    import pyarrow.parquet as _pq
+
+    return sum(_pq.ParquetFile(p).metadata.num_rows for p in _input_files(transcripts_path))
+
+
+def read_sample_table(transcripts_path, sample_rows: int, columns: list[str]):
+    """First ``sample_rows`` rows in file order (deterministic sample)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(_input_files(transcripts_path)[0])
+    got, seen = [], 0
+    for rb in pf.iter_batches(batch_size=8192, columns=columns):
+        got.append(rb)
+        seen += rb.num_rows
+        if seen >= sample_rows:
+            break
+    return _pa.Table.from_batches(got, schema=got[0].schema if got else None).slice(0, sample_rows)
+
+
+def estimate_packed_bytes_per_turn(transcripts_path, cfg: BuildConfig, sample_rows: int = 20_000) -> float:
+    """Run the REAL emit kernel over the deterministic sample and measure its
+    packed output bytes — the basis of the auto reduce-strategy decision.
+    Synthetic conv offsets derived from the sample stand in for the real
+    docmap (doc-id magnitudes only affect byte widths marginally; the caller
+    applies a safety margin)."""
+    import collections
+
+    import pyarrow.compute as _pc
+
+    from ..stages.postings import emit_postings_batch
+
+    sample = read_sample_table(transcripts_path, sample_rows, ["conv_id", "turn_idx", "text"])
+    if sample.num_rows == 0:
+        return 0.0
+    counts = collections.Counter(sample.column("conv_id").to_pylist())
+    conv_ids = np.asarray(sorted(counts), dtype=object)
+    sizes = np.asarray([counts[c] for c in conv_ids], dtype=np.int64)
+    bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    offsets = {"conv_ids": conv_ids, "bases": bases}
+    out = emit_postings_batch(
+        sample, offsets, cfg.num_partitions, hot_terms=frozenset(), salt_factor=cfg.salt_factor
+    )
+    total = 0
+    for col in ("terms", "codes", "docs", "tfs", "dls"):
+        total += int(_pc.sum(_pc.binary_length(out.column(col))).as_py() or 0)
+    return total / sample.num_rows
+
+
+def _object_store_bytes() -> int:
+    try:
+        cap = ray.cluster_resources().get("object_store_memory")
+        return int(cap) if cap else 2**33
+    except Exception:
+        return 2**33  # conservative 8 GiB when no cluster is inspectable
+
+
+def resolve_reduce_strategy(transcripts_path, cfg: BuildConfig) -> tuple[str, dict]:
+    """'auto' -> 'direct' | 'sort_groupby' by comparing the estimated packed
+    intermediate (emit-kernel sample x exact footer row count x 1.5 margin)
+    against the budget (cfg.packed_budget_bytes or object_store_fraction of
+    cluster object store). Returns (strategy, decision report)."""
+    if cfg.reduce_strategy != "auto":
+        return cfg.reduce_strategy, {"mode": "explicit"}
+    n_rows = count_input_rows(transcripts_path)
+    per_turn = estimate_packed_bytes_per_turn(transcripts_path, cfg)
+    est = int(per_turn * n_rows * 1.5)
+    budget = (
+        cfg.packed_budget_bytes
+        if cfg.packed_budget_bytes is not None
+        else int(cfg.object_store_fraction * _object_store_bytes())
+    )
+    strategy = "direct" if est <= budget else "sort_groupby"
+    return strategy, {
+        "mode": "auto",
+        "est_packed_bytes": est,
+        "budget_bytes": budget,
+        "bytes_per_turn": round(per_turn, 2),
+        "n_rows": n_rows,
+    }
 
 
 def estimate_hot_terms(transcripts_path, cfg: BuildConfig, sample_rows: int = 20_000) -> list[str]:
@@ -102,6 +199,14 @@ def build_index(
         return time.perf_counter()
 
     os.makedirs(index_dir, exist_ok=True)
+
+    # Resolve the reduce strategy FIRST: the docmap transport and the
+    # conv-offsets token pass both depend on it. The resolved value replaces
+    # "auto" for the rest of the build (and is what meta.json records).
+    t0 = time.perf_counter()
+    strategy, strategy_info = resolve_reduce_strategy(transcripts_path, cfg)
+    cfg = cfg.with_overrides(reduce_strategy=strategy)
+    t0 = _mark("reduce_strategy", t0)
 
     ds = ray.data.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
 
@@ -302,6 +407,8 @@ def build_index(
     return {
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "reduce_strategy": cfg.reduce_strategy,
+        "reduce_strategy_info": strategy_info,
         "num_partitions": cfg.num_partitions,
         "partitions_built": built_now,
         "partitions_skipped": len(completed),

@@ -38,6 +38,20 @@ def q1_pricing(sf_dir: str) -> pa.Table:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
+    # fixed partial schema: an empty input batch must emit the SAME schema
+    # as a populated one (pandas infers object dtypes on empty groupbys,
+    # which used to trip Ray's schema-consistency warning)
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty_cents", pa.int64()),
+            ("sum_base_cents", pa.int64()),
+            ("sum_disc_cents", pa.int64()),
+            ("partial_count", pa.int64()),
+        ]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         disc_price = pc.multiply(
             batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
@@ -62,7 +76,7 @@ def q1_pricing(sf_dir: str) -> pa.Table:
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, schema=partial_schema, preserve_index=False)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -87,13 +101,15 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
+    rev_schema = pa.schema([("l_orderkey", pa.int64()), ("rev_c", pa.int64())])
+
     def revenue(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
         )
         t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(rev)})
         df = t.to_pandas().groupby("l_orderkey", sort=False).agg(rev_c=("rev_c", "sum")).reset_index()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, schema=rev_schema, preserve_index=False)
 
     top = (
         li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
@@ -130,6 +146,15 @@ def customer_nation_rollup(sf_dir: str) -> pa.Table:
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     dim_ref = ray.put(dict(zip(dim["n_nationkey"], zip(dim["n_name"], dim["r_name"]))))
 
+    annotate_schema = pa.schema(
+        [
+            ("r_name", pa.string()),
+            ("n_name", pa.string()),
+            ("sum_acctbal_cents", pa.int64()),
+            ("n_customers", pa.int64()),
+        ]
+    )
+
     class Annotate:
         def __init__(self):
             self.lookup = ray.get(dim_ref)
@@ -150,7 +175,7 @@ def customer_nation_rollup(sf_dir: str) -> pa.Table:
                 .agg(sum_acctbal_cents=("bal_c", "sum"), n_customers=("bal_c", "size"))
                 .reset_index()
             )
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, schema=annotate_schema, preserve_index=False)
 
     from ray.data.aggregate import Sum
 

@@ -35,8 +35,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..stages.codec import decode_consolidated
 from ..stages.postings import salted_partitions, term_partition
+from ..state.scorers import make_scorer_pool
 from ..state.shards import PostingShard
 from ..tokenizer import tokenize
 from .build import load_meta
@@ -70,7 +70,14 @@ class SearchEngine:
     only the shards owning their terms.
     """
 
-    def __init__(self, index_dir: str, num_shards: int = 8):
+    # distributed scoring pays two RPC fan-out hops (~2-4 ms) per query;
+    # below this corpus size the driver's own accumulate is faster than the
+    # round-trips, so "auto" keeps scoring local
+    _SCORER_MIN_DOCS = 1_000_000
+
+    def __init__(
+        self, index_dir: str, num_shards: int = 8, num_scorers: int | str = "auto"
+    ):
         self.meta = load_meta(index_dir)
         # Serving a truncated index would silently return empty postings for
         # every term hashed to a lost partition: verify the commit marker and
@@ -119,6 +126,26 @@ class SearchEngine:
         self._decoded: dict[str, tuple | None] = {}
         self._cache_elems = 0
         self._cache_budget = 512_000_000
+        # term -> global df (summed across shards) | None if absent
+        self._dfs: dict[str, int | None] = {}
+        # optional doc-range scorer pool: distributes accumulate + top-k
+        # (the driver's two remaining O(n_docs)/O(postings) stages) across
+        # conv-aligned ranges; 0 = score on the driver, "auto" = pool sized
+        # to the cluster once the corpus is big enough to amortize fan-out.
+        if num_scorers == "auto":
+            if self.n_docs >= self._SCORER_MIN_DOCS:
+                try:
+                    cpus = int(ray.cluster_resources().get("CPU", 8))
+                except Exception:
+                    cpus = 8
+                num_scorers = min(16, cpus)
+            else:
+                num_scorers = 0
+        self.scorers = (
+            make_scorer_pool(self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers)
+            if num_scorers > 0
+            else []
+        )
 
     # ------------------------------------------------------------------ fetch
 
@@ -127,21 +154,33 @@ class SearchEngine:
             return sorted(set(salted_partitions(term, self.num_partitions, self.salt_factor)))
         return [term_partition(term, self.num_partitions)]
 
-    def fetch_terms(self, terms: list[str]) -> dict[str, list[dict]]:
-        """term -> list of consolidated sub-lists (one per partition holding
-        postings of the term; >1 only for salted hot terms)."""
+    def _fetch(self, terms: list[str], method: str) -> dict[str, list[dict]]:
         by_shard: dict[int, set[str]] = defaultdict(set)
         for t in terms:
             for pid in self._parts_for_term(t):
                 by_shard[pid % self.num_shards].add(t)
         items = sorted(by_shard.items())
-        futures = [self.shards[s].fetch.remote(sorted(ts)) for s, ts in items]
+        futures = [getattr(self.shards[s], method).remote(sorted(ts)) for s, ts in items]
         out: dict[str, list[dict]] = defaultdict(list)
         for (s, _), res in zip(items, ray.get(futures)):
             for t, infos in res.items():
                 out[t].extend(infos)
         # deterministic sub-list order regardless of shard reply order
         return {t: sorted(infos, key=lambda i: i["part"]) for t, infos in out.items()}
+
+    def fetch_terms(self, terms: list[str]) -> dict[str, list[dict]]:
+        """term -> list of consolidated COMPRESSED sub-lists (one per
+        partition holding postings of the term; >1 only for salted hot
+        terms). WAND path: lazy per-block decode at the traversal site."""
+        return self._fetch(terms, "fetch")
+
+    def fetch_scored(self, terms: list[str]) -> dict[str, list[dict]]:
+        """term -> list of {part, df, ids, factor} sub-lists, decoded and
+        factor-scored INSIDE the shard actors — the per-query decode CPU
+        runs on the shard pool (scales with cluster size), the driver only
+        applies idf (needs the cross-shard summed df of salted terms) and
+        accumulates."""
+        return self._fetch(terms, "fetch_scored")
 
     def idf(self, df: int) -> float:
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -152,27 +191,24 @@ class SearchEngine:
         doc_id % S) and idf comes from the SUMMED df."""
         missing = [t for t in terms if t not in self._decoded]
         if missing:
-            fetched = self.fetch_terms(missing)
+            fetched = self.fetch_scored(missing)
             for t in missing:
                 infos = fetched.get(t)
                 if not infos:
                     self._decoded[t] = None
                     continue
-                parts = [decode_consolidated(info) for info in infos]
-                if len(parts) == 1:
-                    ids, tfs, dls = parts[0]
+                if len(infos) == 1:
+                    ids, factor = infos[0]["ids"], infos[0]["factor"]
                 else:
-                    ids = np.concatenate([p[0] for p in parts])
-                    tfs = np.concatenate([p[1] for p in parts])
-                    dls = np.concatenate([p[2] for p in parts])
+                    # salted sub-lists are disjoint by doc_id % S: the
+                    # doc-id sort fully merges them; factor is per-posting,
+                    # so merging before the idf multiply is bit-identical to
+                    # the old merge-then-score order
+                    ids = np.concatenate([i["ids"] for i in infos])
+                    factor = np.concatenate([i["factor"] for i in infos])
                     order = np.argsort(ids, kind="stable")
-                    ids, tfs, dls = ids[order], tfs[order], dls[order]
+                    ids, factor = ids[order], factor[order]
                 df = int(sum(info["df"] for info in infos))
-                tf = tfs.astype(np.float64)
-                dl = dls.astype(np.float64)
-                factor = tf * (self.k1 + 1.0) / (
-                    tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-                )
                 contrib = self.idf(df) * factor
                 self._decoded[t] = (ids, contrib)
                 self._cache_elems += 2 * len(ids)
@@ -227,6 +263,82 @@ class SearchEngine:
         uniq, starts = np.unique(docs, return_index=True)
         return uniq, np.add.reduceat(contribs, starts)
 
+    # ------------------------------------------------- distributed scoring
+
+    def _fetch_dfs(self, terms: list[str]) -> None:
+        """Warm the global-df cache (one light round-trip; salted terms sum
+        their per-shard partial dfs)."""
+        missing = [t for t in terms if t not in self._dfs]
+        if not missing:
+            return
+        by_shard: dict[int, set[str]] = defaultdict(set)
+        for t in missing:
+            for pid in self._parts_for_term(t):
+                by_shard[pid % self.num_shards].add(t)
+        items = sorted(by_shard.items())
+        futures = [self.shards[s].fetch_dfs.remote(sorted(ts)) for s, ts in items]
+        sums: dict[str, int] = defaultdict(int)
+        for res in ray.get(futures):
+            for t, df in res.items():
+                sums[t] += df
+        for t in missing:
+            self._dfs[t] = sums[t] if t in sums else None
+
+    def _term_idfs(self, terms: list[str]) -> list[tuple[str, float]]:
+        self._fetch_dfs(terms)
+        return [(t, self.idf(self._dfs[t])) for t in terms if self._dfs[t] is not None]
+
+    @staticmethod
+    def _merge_partials(partials: list, k: int, granularity: str):
+        """Merge per-range top-k partials; ranges are disjoint so the global
+        top-k is the best k of the union, under the identical tie-break."""
+        if granularity == "turn":
+            docs = np.concatenate([p[0] for p in partials])
+            scores = np.concatenate([p[1] for p in partials])
+            if not len(docs):
+                return None
+            order = np.lexsort((docs, -scores))[:k]
+            return docs[order], scores[order]
+        if granularity == "conv":
+            names = np.concatenate([p[0] for p in partials])
+            scores = np.concatenate([p[1] for p in partials])
+            if not len(names):
+                return None
+            order = np.lexsort((names, -scores))[:k]
+            return names[order], scores[order]
+        names = np.concatenate([p[0] for p in partials])
+        segs = np.concatenate([p[1] for p in partials])
+        scores = np.concatenate([p[2] for p in partials])
+        if not len(names):
+            return None
+        order = np.lexsort((segs, names, -scores))[:k]
+        return names[order], segs[order], scores[order]
+
+    def _score_batch_distributed(
+        self,
+        query_terms: list[tuple[int, list[str]]],
+        k: int,
+        granularity: str,
+        segment_span: int = 4,
+    ) -> list[tuple]:
+        """All queries x all range scorers in ONE fan-out round-trip.
+        Returns one merged result (or None) per query, in order."""
+        self._fetch_dfs(sorted({t for _, terms in query_terms for t in terms}))
+        items = [(qid, self._term_idfs(terms)) for qid, terms in query_terms]
+        live = [(qid, tidfs) for qid, tidfs in items if tidfs]
+        if not live:
+            return [None] * len(items)
+        futures = [
+            s.score_many.remote(live, k, granularity, segment_span) for s in self.scorers
+        ]
+        per_scorer = ray.get(futures)
+        merged_live = [
+            self._merge_partials([ps[i] for ps in per_scorer], k, granularity)
+            for i in range(len(live))
+        ]
+        by_qid = {qid: res for (qid, _), res in zip(live, merged_live)}
+        return [by_qid.get(qid) if tidfs else None for qid, tidfs in items]
+
     def _wand_specs(self, terms: list[str]):
         """(term, idf, info) iterator specs in ascending (term, sub-list)
         order. A salted term yields one iterator per sub-list — each doc
@@ -268,6 +380,39 @@ class SearchEngine:
         hierarchy node between turn and conversation, the analogue of the
         reference's interior tree nodes, /root/reference/pageindex/utils.py:354-400)."""
         terms = sorted(set(tokenize(query_text)))
+        if self.scorers and not use_wand:
+            res = self._score_batch_distributed([(0, terms)], k, granularity, segment_span)[0]
+            if res is None:
+                return []
+            if granularity == "conv":
+                names, scores = res
+                return [
+                    {"rank": r, "conv_id": str(names[r]), "score": float(scores[r])}
+                    for r in range(len(names))
+                ]
+            if granularity == "segment":
+                names, segs, scores = res
+                return [
+                    {
+                        "rank": r,
+                        "conv_id": str(names[r]),
+                        "seg_start": int(segs[r]),
+                        "score": float(scores[r]),
+                    }
+                    for r in range(len(names))
+                ]
+            docs, scores = res
+            convs, turns = self.doc_location(docs)
+            return [
+                {
+                    "rank": r,
+                    "doc_id": int(docs[r]),
+                    "score": float(scores[r]),
+                    "conv_id": str(convs[r]),
+                    "turn_idx": int(turns[r]),
+                }
+                for r in range(len(docs))
+            ]
         if granularity in ("conv", "segment"):
             arrays = self._term_arrays(terms)
             if not arrays:
@@ -325,14 +470,24 @@ class SearchEngine:
         self, queries: list[tuple[int, str]], k: int = 10, granularity: str = "turn",
         use_wand: bool = False,
     ) -> pa.Table:
-        """Score a query set; one shard round-trip for ALL queries' terms."""
-        all_terms = sorted({t for _, q in queries for t in tokenize(q)})
-        if not use_wand:
-            self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
+        """Score a query set; one shard round-trip for ALL queries' terms
+        (driver path), or one scorer-pool fan-out for the WHOLE batch
+        (distributed path)."""
         rows = {"query_id": [], "rank": [], "doc_id": [], "score": [], "conv_id": [], "turn_idx": []}
-        for qid, qtext in queries:
-            terms = sorted(set(tokenize(qtext)))
-            res = self._topk_turn(terms, k, use_wand)
+        if self.scorers and not use_wand and granularity == "turn":
+            per_query = [(qid, sorted(set(tokenize(q)))) for qid, q in queries]
+            results = self._score_batch_distributed(per_query, k, "turn")
+        else:
+            all_terms = sorted({t for _, q in queries for t in tokenize(q)})
+            if not use_wand:
+                self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
+            results = None
+        for i, (qid, qtext) in enumerate(queries):
+            if results is not None:
+                res = results[i]
+            else:
+                terms = sorted(set(tokenize(qtext)))
+                res = self._topk_turn(terms, k, use_wand)
             if res is None:
                 continue
             docs, scores = res
@@ -360,6 +515,7 @@ class SearchEngine:
         return self.conv_ids[idx], (doc_ids - self.conv_bases[idx]).astype(np.int32)
 
     def shutdown(self):
-        for a in self.shards:
+        for a in (*self.shards, *self.scorers):
             ray.kill(a)
         self.shards = []
+        self.scorers = []

@@ -1,0 +1,180 @@
+"""Doc-range scoring actors: the distributed half of query execution.
+
+The index is TERM-partitioned (posting shards), so a document's score for a
+multi-term query is spread across shards and cannot be finalized there. The
+scorer pool re-partitions query execution by DOC RANGE: scorer r owns docs
+[lo_r, hi_r) (ranges aligned to conversation boundaries so conv/segment
+rollups never split) and, per query,
+
+    1. pulls the [lo, hi) slice of each term's decoded (doc_ids, factor)
+       sub-lists from the posting shards (once — slices are cached per
+       scorer, so a Zipfian query stream re-scores hot terms from local
+       memory with ZERO shard traffic),
+    2. scatter-adds idf * factor into a dense accumulator over its range,
+       iterating terms in ascending order — per-doc float64 accumulation
+       order is identical to the driver scorer and the oracle,
+    3. returns its range-local top-k (score desc, doc_id asc).
+
+The driver merges R tie-broken size-k partials (ranges are disjoint, so the
+global top-k is exactly the best k of the union). This removes both driver
+ceilings VERDICT.md flagged: the O(n_docs) dense accumulator lives sharded
+across scorers, and per-query CPU (decode slices + accumulate + top-k) scales
+with the actor pool instead of one driver core.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+
+@ray.remote(num_cpus=0)  # co-resident with the shard pool: scorers burn CPU
+# in a different query phase than shards (accumulate vs decode), so they
+# don't RESERVE cores — reserving would deadlock actor placement on small
+# clusters where the shard pool already holds every CPU slot.
+class RangeScorer:
+    """Owns doc range [lo, hi) plus the conversation table slice covering it.
+
+    ``shards``: the PostingShard handles (same pool the driver routes to);
+    ``bases``/``names``: conv base offsets and conv_ids for the range —
+    conv_bases[0] == lo and every conv in the slice ends before hi."""
+
+    def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names):
+        self.shards = list(shards)
+        self.lo = int(lo)
+        self.hi = int(hi)
+        self.bases = np.asarray(bases, dtype=np.int64)
+        self.names = np.asarray(names, dtype=object)
+        self.n = self.hi - self.lo
+        self.buf = np.zeros(self.n, dtype=np.float64)
+        self.touched = np.zeros(self.n, dtype=bool)
+        # term -> list of (ids_slice - lo, contrib_slice) with idf applied
+        self._cache: dict[str, list[tuple]] = {}
+        self._cache_elems = 0
+        self._cache_budget = 64_000_000
+
+    def _ensure_terms(self, term_idfs: list[tuple[str, float]]) -> None:
+        missing = [t for t, _ in term_idfs if t not in self._cache]
+        if not missing:
+            return
+        futures = [s.fetch_scored.remote(missing) for s in self.shards]
+        fetched: dict[str, list[dict]] = {t: [] for t in missing}
+        for res in ray.get(futures):
+            for t, infos in res.items():
+                fetched[t].extend(infos)
+        idf_of = dict(term_idfs)
+        for t in missing:
+            slices = []
+            for info in fetched[t]:
+                ids = info["ids"]
+                a = int(np.searchsorted(ids, self.lo, side="left"))
+                b = int(np.searchsorted(ids, self.hi, side="left"))
+                if b > a:
+                    contrib = idf_of[t] * info["factor"][a:b]
+                    slices.append((ids[a:b] - self.lo, contrib))
+                    self._cache_elems += 2 * (b - a)
+            if self._cache_elems > self._cache_budget:
+                self._cache.clear()
+                self._cache_elems = 0
+            self._cache[t] = slices
+
+    def _accumulate(self, terms: list[str]):
+        buf, touched = self.buf, self.touched
+        hit = False
+        for t in terms:  # ascending term order == oracle accumulation order
+            for ids, contrib in self._cache.get(t, ()):
+                buf[ids] += contrib
+                touched[ids] = True
+                hit = True
+        if not hit:
+            return None
+        uniq = np.flatnonzero(touched)
+        vals = buf[uniq].copy()
+        buf[uniq] = 0.0
+        touched[uniq] = False
+        return uniq, vals
+
+    def score_many(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        k: int,
+        granularity: str = "turn",
+        segment_span: int = 4,
+    ) -> list:
+        """Batch form: ONE round-trip scores every query in the set (terms
+        are ensured once for the union, then each query accumulates from the
+        local slice cache). Returns one ``score`` result per query, in
+        order."""
+        union: dict[str, float] = {}
+        for _, term_idfs in queries:
+            union.update(term_idfs)
+        self._ensure_terms(sorted(union.items()))
+        return [
+            self.score(term_idfs, k, granularity, segment_span)
+            for _, term_idfs in queries
+        ]
+
+    def score(
+        self,
+        term_idfs: list[tuple[str, float]],
+        k: int,
+        granularity: str = "turn",
+        segment_span: int = 4,
+    ):
+        """-> (doc_ids, scores) | (conv_names, scores) | (conv_names,
+        seg_starts, scores): this range's top-k under the global tie-break."""
+        from ..pipelines.search import topk_from_scores
+
+        terms = sorted(t for t, _ in term_idfs)
+        self._ensure_terms(term_idfs)
+        acc = self._accumulate(terms)
+        if acc is None:
+            if granularity == "turn":
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            if granularity == "conv":
+                return np.empty(0, object), np.empty(0, np.float64)
+            return np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.float64)
+        uniq, vals = acc
+        if granularity == "turn":
+            docs = uniq + self.lo
+            return topk_from_scores(docs, vals, k)
+        conv_idx = np.searchsorted(self.bases, uniq + self.lo, side="right") - 1
+        if granularity == "conv":
+            cuniq, starts = np.unique(conv_idx, return_index=True)
+            cscores = np.add.reduceat(vals, starts)
+            names = self.names[cuniq]
+            order = np.lexsort((names, -cscores))[:k]
+            return names[order], cscores[order]
+        turn = (uniq + self.lo) - self.bases[conv_idx]
+        seg_start = (turn // segment_span) * segment_span
+        key = conv_idx.astype(np.int64) * (1 << 32) + seg_start
+        kuniq, starts = np.unique(key, return_index=True)
+        sscores = np.add.reduceat(vals, starts)
+        u_conv = (kuniq >> 32).astype(np.int64)
+        u_seg = (kuniq & ((1 << 32) - 1)).astype(np.int64)
+        names = self.names[u_conv]
+        order = np.lexsort((u_seg, names, -sscores))[:k]
+        return names[order], u_seg[order], sscores[order]
+
+
+def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int):
+    """Create RangeScorer actors over conv-aligned doc ranges of ~equal size.
+
+    Ranges split the conversation table (never a conversation), so every
+    rollup granularity stays range-local. Returns the actor list."""
+    n_convs = len(conv_bases)
+    num_scorers = max(1, min(num_scorers, n_convs))
+    cut_idx = [(j * n_convs) // num_scorers for j in range(num_scorers + 1)]
+    scorers = []
+    for j in range(num_scorers):
+        ci, cj = cut_idx[j], cut_idx[j + 1]
+        if ci == cj:
+            continue
+        lo = int(conv_bases[ci])
+        hi = int(conv_bases[cj]) if cj < n_convs else int(n_docs)
+        scorers.append(
+            RangeScorer.remote(
+                shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object)
+            )
+        )
+    return scorers

@@ -8,19 +8,35 @@ re-creates its OpenAI client per call, /root/reference/pageindex/utils.py:35).
 
 Shard ownership: partition pid is owned by actor ``pid % num_shards``;
 ``term -> crc32(term) % P -> actor`` is a pure function, so routing needs no
-directory service. Actors return COMPRESSED blocks (+ df/idf); decoding and
-scoring happen at the caller — at 10^12 docs only the query's own posting
-bytes cross the wire, never decoded arrays.
+directory service.
+
+Two fetch surfaces:
+  - ``fetch``        -> COMPRESSED consolidated blocks (+ df/cf). Used by the
+                        WAND scorer, whose lazy block decode must stay at the
+                        traversal site.
+  - ``fetch_scored`` -> decoded (doc_ids, idf-FREE factor float64) arrays.
+                        Varint decode + the BM25 factor expression run INSIDE
+                        the shard actor, so the heavy per-query CPU
+                        parallelizes across the shard pool and scales with
+                        cluster size; the driver only multiplies by idf
+                        (query-global, needs the SUMMED df of salted terms)
+                        and accumulates. The factor expression is the
+                        identical float64 form the driver previously
+                        evaluated, so scores stay bit-identical. A bounded
+                        per-shard decoded cache exploits Zipfian query
+                        streams (same policy as the driver-side cache).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
+import numpy as np
 import pyarrow.parquet as pq
 import ray
 
-from ..stages.codec import consolidate_blocks
+from ..stages.codec import consolidate_blocks, decode_consolidated
 
 
 @ray.remote
@@ -33,13 +49,19 @@ class PostingShard:
     the object store."""
 
     def __init__(self, index_dir: str, part_ids: list[int]):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.k1 = float(meta["config"]["k1"])
+        self.b = float(meta["config"]["b"])
+        self.avgdl = float(meta["avgdl"])
         # term -> LIST of consolidated sub-lists: a salted hot term can have
         # sub-lists in more than one partition owned by this shard.
         self.terms: dict[str, list[dict]] = {}
         for pid in sorted(part_ids):
             path = os.path.join(index_dir, "postings", f"part-{pid:05d}.parquet")
             if not os.path.exists(path):
-                continue  # empty partition (no terms hashed to it)
+                continue  # empty partition (no terms hashed to it; SearchEngine
+                # verified committed partitions against meta['parts_present'])
             table = pq.read_table(path)
             for row in table.to_pylist():
                 info = consolidate_blocks(row["blocks"])
@@ -47,11 +69,56 @@ class PostingShard:
                 info["cf"] = row["cf"]
                 info["part"] = pid
                 self.terms.setdefault(row["term"], []).append(info)
+        # decoded (ids, factor) cache, bounded by element count
+        self._scored: dict[str, list[dict]] = {}
+        self._cache_elems = 0
+        self._cache_budget = 256_000_000
 
     def num_terms(self) -> int:
         return len(self.terms)
+
+    def fetch_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Shard-local df per term (sum over this shard's sub-lists; the
+        caller sums across shards for a salted term's global df). A few ints
+        per term — the light first round-trip of distributed scoring."""
+        out = {}
+        for t in terms:
+            infos = self.terms.get(t)
+            if infos:
+                out[t] = int(sum(i["df"] for i in infos))
+        return out
 
     def fetch(self, terms: list[str]) -> dict[str, list[dict]]:
         """Consolidated posting sub-lists for the requested terms (missing
         terms are simply absent from the result)."""
         return {t: self.terms[t] for t in terms if t in self.terms}
+
+    def fetch_scored(self, terms: list[str]) -> dict[str, list[dict]]:
+        """term -> list of {part, df, ids, factor} sub-lists, decoded and
+        factor-scored in the shard (idf applied by the caller)."""
+        out: dict[str, list[dict]] = {}
+        for t in terms:
+            infos = self.terms.get(t)
+            if infos is None:
+                continue
+            cached = self._scored.get(t)
+            if cached is None:
+                cached = []
+                for info in infos:
+                    ids, tfs, dls = decode_consolidated(info)
+                    tf = tfs.astype(np.float64)
+                    dl = dls.astype(np.float64)
+                    # identical float64 expression order as the oracle/driver
+                    factor = tf * (self.k1 + 1.0) / (
+                        tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                    )
+                    cached.append(
+                        {"part": info["part"], "df": info["df"], "ids": ids, "factor": factor}
+                    )
+                    self._cache_elems += 2 * len(ids)
+                if self._cache_elems > self._cache_budget:
+                    self._scored.clear()
+                    self._cache_elems = 0
+                self._scored[t] = cached
+            out[t] = cached
+        return out

@@ -128,3 +128,48 @@ def test_posting_sample_verification(built_index, oracle_index):
         j = int(rng.integers(0, len(ids)))
         toks = tokenize(sorted_texts[int(ids[j])])
         assert toks.count(row["term"]) == int(tfs[j])
+
+
+def test_distributed_scoring_matches_driver(ray_session, built_index):
+    """The doc-range scorer pool (distributed accumulate + top-k) must be
+    bit-identical to driver-side scoring at every granularity, including the
+    batch path (ranges are conv-aligned and disjoint, so the merged top-k is
+    exact under the same tie-break)."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    e1 = SearchEngine(built_index["index_dir"], num_shards=2)
+    e2 = SearchEngine(built_index["index_dir"], num_shards=2, num_scorers=3)
+    try:
+        queries = _queries(built_index)
+        for _, qtext in queries:
+            for gran in ("turn", "conv", "segment"):
+                assert e1.search(qtext, k=10, granularity=gran) == e2.search(
+                    qtext, k=10, granularity=gran
+                ), (qtext, gran)
+        b1 = e1.search_batch(queries, k=10)
+        b2 = e2.search_batch(queries, k=10)
+        assert b1.equals(b2)
+    finally:
+        e1.shutdown()
+        e2.shutdown()
+
+
+def test_segment_rollup_matches_oracle(engine, built_index, oracle_index):
+    """Segment granularity (contiguous 4-turn spans) must equal the oracle's
+    per-segment score sums with the (score desc, conv asc, seg asc) tie-break."""
+    from collections import defaultdict
+
+    from pageindex_ray.oracle.bm25 import score_all
+
+    for _, qtext in _queries(built_index):
+        got = engine.search(qtext, k=10, granularity="segment")
+        docs, scores = score_all(oracle_index, qtext)
+        agg = defaultdict(float)
+        for d, s in zip(docs, scores):
+            conv = oracle_index.conv_ids[oracle_index.doc_conv[d]]
+            turn = int(oracle_index.turn_idx[d])
+            agg[(conv, (turn // 4) * 4)] += s
+        want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:10]
+        assert [(r["conv_id"], r["seg_start"]) for r in got] == [k for k, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert abs(r["score"] - s) <= 1e-9 * max(1.0, abs(s))

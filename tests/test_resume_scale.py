@@ -124,3 +124,24 @@ def test_sort_groupby_reduce_matches_direct(ray_session, tiny_corpus, tmp_path):
     assert qa.search_batch(queries, k=10).to_pylist() == qb.search_batch(queries, k=10).to_pylist()
     qa.shutdown()
     qb.shutdown()
+
+
+def test_auto_reduce_strategy_switch(ray_session, tiny_corpus, tmp_path):
+    """reduce_strategy='auto' (the default) must resolve to direct while the
+    estimated packed intermediate fits the budget, and fall back to
+    sort_groupby when it exceeds it — with identical logical postings."""
+    a = str(tmp_path / "auto_direct")
+    b = str(tmp_path / "auto_fallback")
+    ra = build_index(
+        tiny_corpus["transcripts"], a, BuildConfig(num_partitions=4, reduce_strategy="auto")
+    )
+    assert ra["reduce_strategy"] == "direct"
+    assert ra["reduce_strategy_info"]["mode"] == "auto"
+    assert ra["reduce_strategy_info"]["est_packed_bytes"] > 0
+    rb = build_index(
+        tiny_corpus["transcripts"],
+        b,
+        BuildConfig(num_partitions=4, reduce_strategy="auto", packed_budget_bytes=16),
+    )
+    assert rb["reduce_strategy"] == "sort_groupby"
+    assert _postings_content(a) == _postings_content(b)
