@@ -441,6 +441,12 @@ def _q_conv_summaries(sf_dir: str):
     return conv_summaries(sf_dir)
 
 
+def _q_conv_salient_summary(sf_dir: str):
+    from pageindex_ray.pipelines.conversations import conv_salient_summary
+
+    return conv_salient_summary(sf_dir)
+
+
 def _q_event_mode(sf_dir: str):
     from pageindex_ray.pipelines.conversations import event_type_mode
 
@@ -476,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "conv_text_fingerprint": _q_conv_fingerprint,
         "conv_summaries": _q_conv_summaries,
+        "conv_salient_summary": _q_conv_salient_summary,
         "event_type_mode": _q_event_mode,
         "events_tumbling": _q_events_tumbling,
         "parts_by_brand": _q_parts_by_brand,
@@ -764,6 +771,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    coalesce(array_to_string(list_slice({_TOKS}, 1, 10), ' '), '') AS summary
             FROM firsts WHERE rn = 1
+        """,
+        "conv_salient_summary": f"""
+            WITH base AS (
+              SELECT conv_id, turn_idx, text, {_TOKS} AS toks
+              FROM read_parquet('{_TPATH}')
+            ), stats AS (
+              SELECT count(*) AS n FROM base
+            ), tok AS (
+              SELECT conv_id, turn_idx, unnest(list_distinct(toks)) AS term FROM base
+            ), dft AS (
+              SELECT term, count(*) AS df FROM tok GROUP BY term
+            ), sal AS (
+              SELECT tok.conv_id, tok.turn_idx,
+                     sum(CAST(floor(ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * 1000000.0) AS BIGINT)) AS sal
+              FROM tok JOIN dft ON dft.term = tok.term CROSS JOIN stats s
+              GROUP BY tok.conv_id, tok.turn_idx
+            ), pick AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (PARTITION BY conv_id ORDER BY sal DESC, turn_idx ASC) AS rn
+              FROM sal
+            )
+            SELECT p.conv_id, CAST(p.turn_idx AS INTEGER) AS turn_idx,
+                   coalesce(array_to_string(list_slice(b.toks, 1, 10), ' '), '') AS summary
+            FROM pick p JOIN base b ON b.conv_id = p.conv_id AND b.turn_idx = p.turn_idx
+            WHERE p.rn = 1
         """,
         "event_type_mode": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -7,10 +7,14 @@ conv_id/turn_idx hierarchy:
   turn order — the analogue of ``add_node_text`` (concat of a node's page
   texts, /root/reference/pageindex/utils.py:554-564) — fingerprinted (md5)
   so the result stays small.
-- ``conv_summaries``: extractive stub summary per conversation — the
-  deterministic stand-in for ``generate_node_summary`` / the asyncio
+- ``conv_summaries``: extractive first-turn summary per conversation — the
+  minimal deterministic stand-in for ``generate_node_summary`` / the asyncio
   summary fan-out (utils.py:580-598); an actor-pool map over groups, state
   (the "model") constructed once per actor.
+- ``conv_salient_summary``: the semantic upgrade of the same capability —
+  idf-weighted salience picks the turn carrying the most corpus-rare
+  vocabulary (integer micro-idf sums, so distributed accumulation order
+  can't flip the argmax), extract from THAT turn.
 - ``event_type_mode``: most-frequent-value aggregate — the pattern of
   ``calculate_page_offset`` (mode of page-offset differences,
   page_index.py:386-406): groupby count -> argmax with deterministic
@@ -22,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -85,6 +90,124 @@ def conv_summaries(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 4),
+    )
+
+
+class SalienceScorer:
+    """Actor-pool stage: per-turn idf salience against the broadcast corpus
+    df table — the deterministic replacement for the reference's per-node
+    LLM summary fan-out (``generate_summaries_for_structure`` +
+    ``generate_node_summary``, /root/reference/pageindex/utils.py:580-610):
+    where the reference asks a model "what is this part about", this scores
+    each turn by how much corpus-rare vocabulary it carries.
+
+    Salience is an INTEGER: sum of floor(idf * 1e6) over the turn's distinct
+    terms — integer summation is order-independent, so the distributed
+    accumulation, the driver, and the DuckDB oracle agree exactly (the same
+    reason the relational pipelines aggregate money in cents).
+
+    The df table is ray.put once and fetched per actor; at 10^12-doc vocab
+    sizes the broadcast becomes a term-keyed join (SURVEY.md §2.5 J1 scale
+    note) — same pipeline shape, bigger small side."""
+
+    def __init__(self, df_ref, n_docs: int):
+        import math
+
+        self.df = ray.get(df_ref)
+        self.n = n_docs
+        self._idf_cache: dict[str, int] = {}
+        self._log = math.log
+
+    def _idf_micro(self, term: str) -> int:
+        v = self._idf_cache.get(term)
+        if v is None:
+            df = self.df.get(term, 0)
+            v = int(self._log((self.n - df + 0.5) / (df + 0.5) + 1.0) * 1_000_000)
+            self._idf_cache[term] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sals = []
+        for t in batch.column("text").to_pylist():
+            toks = set(tokenize(t or ""))
+            sals.append(sum(self._idf_micro(w) for w in toks) if toks else None)
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "text": batch.column("text"),
+                "sal": pa.array(sals, type=pa.int64()),
+            }
+        )
+
+
+def conv_salient_summary(sf_dir: str) -> "ray.data.Dataset":
+    """Per conversation: the most SALIENT turn (max idf-weighted distinct
+    vocabulary; tie-break lowest turn_idx) and its first-10-token extract.
+    Turns with zero tokens are not candidates; a conversation whose turns are
+    all empty yields no row (same rule as the SQL twin).
+
+    Shape: df aggregate (partial per-batch distinct counts -> term groupby)
+    -> broadcast -> salience map_batches (actor pool) -> per-conv argmax."""
+    from ray.data.aggregate import Sum
+
+    tpath, _ = ensure_corpus(sf_dir)
+    ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+
+    df_partial_schema = pa.schema([("term", pa.string()), ("pdf", pa.int64())])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w in set(tokenize(t or "")):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), type=pa.string()),
+                "pdf": pa.array(list(counts.values()), type=pa.int64()),
+            },
+            schema=df_partial_schema,
+        )
+
+    n_docs = ds.count()
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(int))))
+
+    pick_schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("summary", pa.string())]
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["sal"].notna()]
+        if not len(g):
+            return pd.DataFrame({"conv_id": [], "turn_idx": [], "summary": []}).astype(
+                {"conv_id": object, "turn_idx": np.int32, "summary": object}
+            )
+        g = g.sort_values(["sal", "turn_idx"], ascending=[False, True], kind="stable")
+        top = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "conv_id": [top["conv_id"]],
+                "turn_idx": [np.int32(top["turn_idx"])],
+                "summary": [" ".join(tokenize(top["text"] or "")[:10])],
+            }
+        )
+
+    return (
+        ds.map_batches(
+            SalienceScorer,
+            fn_constructor_args=(df_ref, n_docs),
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=(1, 4),
+        )
+        .groupby("conv_id")
+        .map_groups(pick, batch_format="pandas")
     )
 
 

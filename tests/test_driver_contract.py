@@ -72,7 +72,7 @@ def _oracle_names():
     "dedup_exact", "dedup_jaccard", "ann_topk", "multimodal_meta",
     "multimodal_frames", "multimodal_resize", "q1_pricing",
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",
-    "conv_text_fingerprint", "conv_summaries", "event_type_mode",
+    "conv_text_fingerprint", "conv_summaries", "conv_salient_summary", "event_type_mode",
     "events_tumbling", "parts_by_brand", "embedding_near_dup",
     "dedup_minhash", "dedup_simhash", "ann_ivf", "embedding_near_dup_lsh",
     "bm25_segment_topk",
