@@ -25,6 +25,7 @@ from typing import Any
 
 from pageindex_ray.oracle import sidecars as sc
 from pageindex_ray.oracle.sidecars import ensure_sidecars
+from pageindex_ray.sources.readers import read_parquet_clean
 from pageindex_ray.sources.transcripts import ensure_corpus, queries_path, transcripts_path
 from pageindex_ray.tokenizer import SQL_TOKENIZE
 
@@ -93,7 +94,7 @@ def _q_docmap(sf_dir: str):
     from pageindex_ray.stages.docmap import DocMapper, compute_conv_offsets
 
     tpath, _ = ensure_corpus(sf_dir)
-    ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+    ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
     offsets_ref = ray.put(compute_conv_offsets(ds))
     return ds.map_batches(
         DocMapper,
@@ -130,7 +131,7 @@ def _q_term_stats(sf_dir: str):
     # salted hot terms have one row per sub-partition with PARTIAL df/cf;
     # sum to global (exact: sub-lists cover disjoint docs)
     return (
-        ray.data.read_parquet(os.path.join(idx, "postings"), columns=["term", "df", "cf"])
+        read_parquet_clean(os.path.join(idx, "postings"), columns=["term", "df", "cf"])
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
     )
@@ -216,7 +217,7 @@ def _q_dedup_exact(sf_dir: str):
 
     from pageindex_ray.pipelines.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return exact_dedup(ds)
 
 
@@ -228,7 +229,7 @@ def _q_dedup_minhash(sf_dir: str):
     from pageindex_ray.pipelines.dedup import minhash_dedup
 
     ensure_sidecars(sf_dir)
-    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return minhash_dedup(
         ds,
         jaccard_threshold=sc.MINHASH_THRESHOLD,
@@ -246,7 +247,7 @@ def _q_dedup_simhash(sf_dir: str):
     from pageindex_ray.pipelines.dedup import simhash_candidates
 
     ensure_sidecars(sf_dir)
-    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return simhash_candidates(ds, max_hamming=sc.SIMHASH_MAX_HAMMING)
 
 
@@ -269,7 +270,7 @@ def _q_dedup_jaccard(sf_dir: str):
 
     from pageindex_ray.pipelines.dedup import jaccard_near_dup
 
-    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return jaccard_near_dup(ds, shingle_k=3, threshold=0.8)
 
 
@@ -279,7 +280,7 @@ def _q_ann_topk(sf_dir: str):
     from pageindex_ray.pipelines.ann import brute_force_ann
 
     ids, mat = _embedding_queries(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     return brute_force_ann(ds, ids, mat, k=10).select(["query_id", "rank", "vec_id"])
 
 
@@ -290,7 +291,7 @@ def _q_ann_ivf(sf_dir: str):
 
     ensure_sidecars(sf_dir)
     ids, mat = _embedding_queries(sf_dir, n=sc.IVF_N_QUERIES)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     out = ivf_ann(
         ds,
         ids,
@@ -308,7 +309,7 @@ def _q_multimodal(sf_dir: str):
 
     from pageindex_ray.pipelines.multimodal import multimodal_features
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return multimodal_features(ds).select_columns(["doc_id", "n_bytes", "payload_md5"])
 
 
@@ -317,7 +318,7 @@ def _q_multimodal_frames(sf_dir: str):
 
     from pageindex_ray.pipelines.multimodal import multimodal_frames
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return multimodal_frames(ds)
 
 
@@ -326,7 +327,7 @@ def _q_multimodal_resize(sf_dir: str):
 
     from pageindex_ray.pipelines.multimodal import multimodal_resize
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return multimodal_resize(ds)
 
 
@@ -377,7 +378,7 @@ def _q_embedding_near_dup(sf_dir: str):
 
     from pageindex_ray.pipelines.ann import embedding_near_dup
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return embedding_near_dup(ds, threshold=0.3).select_columns(["vec_a", "vec_b"])
@@ -389,7 +390,7 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     from pageindex_ray.pipelines.ann import embedding_near_dup_lsh
 
     ensure_sidecars(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return embedding_near_dup_lsh(

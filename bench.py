@@ -40,6 +40,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from pageindex_ray.pipelines.build import build_index
     from pageindex_ray.pipelines.search import SearchEngine
     from pageindex_ray.sources.transcripts import ensure_corpus
+    from pageindex_ray.sources.readers import read_parquet_clean
 
     timings: dict[str, float] = {}
     tpath, qpath = ensure_corpus(sf_dir)  # untimed: corpus synth + cache warm
@@ -138,7 +139,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from pageindex_ray.pipelines.relational import q1_pricing
 
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     exact_dedup(ds).count()
     timings["dedup_exact"] = time.perf_counter() - t0
 
@@ -150,7 +151,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     qrows = et.filter(pc.less(et.column("vec_id"), 5)).sort_by("vec_id")
     ids = np.asarray(qrows.column("vec_id").to_pylist(), dtype=np.int64)
     mat = np.stack(qrows.column("embedding").to_pylist()).astype(np.float64)
-    eds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    eds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     brute_force_ann(eds, ids, mat, k=10)
     timings["ann_topk"] = time.perf_counter() - t0
 

@@ -40,6 +40,7 @@ import ray
 import ray.data
 
 from ..config import DEFAULT, BuildConfig
+from ..sources.readers import read_parquet_clean
 from ..stages.docmap import compute_conv_offsets, docmap_batch
 from ..stages.postings import (
     assemble_direct_batch,
@@ -208,7 +209,7 @@ def build_index(
     cfg = cfg.with_overrides(reduce_strategy=strategy)
     t0 = _mark("reduce_strategy", t0)
 
-    ds = ray.data.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+    ds = read_parquet_clean(transcripts_path, columns=["conv_id", "turn_idx", "text"])
 
     # --- stable addressing -------------------------------------------------
     docmap_in_emit = cfg.reduce_strategy == "direct"

@@ -33,6 +33,7 @@ import ray
 import ray.data
 
 from ..sources.transcripts import ensure_corpus
+from ..sources.readers import read_parquet_clean
 from ..tokenizer import tokenize
 
 
@@ -40,7 +41,7 @@ def conv_text_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """Per conversation: n_turns and md5 of the turn-ordered concatenated
     text (space-joined) — validates stable turn ordering end-to-end."""
     tpath, _ = ensure_corpus(sf_dir)
-    ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+    ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
 
     def concat(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("turn_idx", kind="stable")
@@ -77,7 +78,7 @@ class ExtractiveSummarizer:
 
 def conv_summaries(sf_dir: str) -> "ray.data.Dataset":
     tpath, _ = ensure_corpus(sf_dir)
-    ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+    ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
 
     def first_turn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("turn_idx", kind="stable")
@@ -152,7 +153,7 @@ def conv_salient_summary(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     tpath, _ = ensure_corpus(sf_dir)
-    ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+    ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
 
     df_partial_schema = pa.schema([("term", pa.string()), ("pdf", pa.int64())])
 
@@ -216,7 +217,7 @@ def event_type_mode(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
 
     counts = (
-        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
         .groupby("event_type")
         .aggregate(Count(alias_name="n"))
         .to_pandas()

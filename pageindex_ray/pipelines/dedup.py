@@ -36,7 +36,12 @@ from ..functions.text import md5_fingerprints
 # --------------------------------------------------------------------------
 
 def add_fingerprint(batch: pa.Table) -> pa.Table:
-    return batch.append_column("fp", md5_fingerprints(batch.column("text")))
+    # replace_schema_metadata(None): parquet blocks carry pandas metadata
+    # that fresh pa.table outputs lack; mixed schemas make Ray's
+    # schema-dedup hash warn on every shuffle (cosmetic but noisy)
+    return batch.replace_schema_metadata(None).append_column(
+        "fp", md5_fingerprints(batch.column("text"))
+    )
 
 
 def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -331,7 +336,9 @@ SIMHASH_BANDS = 4  # 4 disjoint 16-bit slices: exact recall for hamming <= 3
 
 def add_simhash(batch: pa.Table) -> pa.Table:
     sims = np.asarray([simhash64(t or "") for t in batch.column("text").to_pylist()], dtype=np.uint64)
-    return batch.append_column("simhash", pa.array(sims.astype(np.int64), type=pa.int64()))
+    return batch.replace_schema_metadata(None).append_column(
+        "simhash", pa.array(sims.astype(np.int64), type=pa.int64())
+    )
 
 
 def simhash_candidates(

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+from ..sources.readers import read_parquet_clean
 
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -33,7 +34,7 @@ def q1_pricing(sf_dir: str) -> pa.Table:
     combiner-then-shuffle pattern, SURVEY.md §2.6 A6)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -96,7 +97,7 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
     the tiny top-k result (never a full shuffle join for a k-row lookup)."""
     from ray.data.aggregate import Sum
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -122,7 +123,7 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
 
     # k-row lookup side: read only the needed order rows (predicate pushdown)
     keys = top["l_orderkey"].tolist()
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
     ).map_batches(
@@ -180,7 +181,7 @@ def customer_nation_rollup(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     out = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey", "c_acctbal"]
         )
         .map_batches(Annotate, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4))
@@ -196,7 +197,7 @@ def customer_nation_rollup(sf_dir: str) -> pa.Table:
 def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
     """Per-user sessionization: sort-within-group + gap rule — the windowed /
     as-of pattern (sorted ``map_groups``, SURVEY.md §2.5 J3). Exact ints."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
     )
 
@@ -225,7 +226,7 @@ def events_tumbling(sf_dir: str) -> pa.Table:
     are bucket columns). Bucket is exact int64 epoch-hours."""
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
     )
 
@@ -251,7 +252,7 @@ def events_tumbling(sf_dir: str) -> pa.Table:
 def parts_by_brand(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_retailprice"]
     )
 
@@ -271,7 +272,7 @@ def parts_by_brand(sf_dir: str) -> pa.Table:
 def events_by_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
 

@@ -7,13 +7,14 @@ import os
 import pyarrow as pa
 import ray
 import ray.data
+from ..sources.readers import read_parquet_clean
 
 from ..functions.text import lang_id, md5_fingerprints, quality_features, rolling_fingerprint, token_counts
 from ..sources.transcripts import ensure_corpus
 
 
 def _documents(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -80,7 +81,7 @@ def transcripts_role_stats(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     tpath, _ = ensure_corpus(sf_dir)
-    ds = ray.data.read_parquet(tpath, columns=["role", "text"])
+    ds = read_parquet_clean(tpath, columns=["role", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
