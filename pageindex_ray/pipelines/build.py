@@ -125,24 +125,53 @@ def _object_store_bytes() -> int:
         return 2**33  # conservative 8 GiB when no cluster is inspectable
 
 
+def _text_uncompressed_bytes(transcripts_path) -> int:
+    """Footer-only upper-bound input: total uncompressed bytes of the text
+    column across all files/row groups."""
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for p in _input_files(transcripts_path):
+        md = _pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema == "text":
+                    total += col.total_uncompressed_size
+    return total
+
+
 def resolve_reduce_strategy(transcripts_path, cfg: BuildConfig) -> tuple[str, dict]:
-    """'auto' -> 'direct' | 'sort_groupby' by comparing the estimated packed
-    intermediate (emit-kernel sample x exact footer row count x 1.5 margin)
-    against the budget (cfg.packed_budget_bytes or object_store_fraction of
-    cluster object store). Returns (strategy, decision report)."""
+    """'auto' -> 'direct' | 'sort_groupby'.
+
+    Two-tier decision so the common case costs only parquet-footer reads:
+      1. UPPER BOUND: the packed intermediate is ~6 bytes/posting + the
+         term blobs, both bounded by the raw text bytes; 2x the footer's
+         uncompressed text size is a safe ceiling. Under budget -> direct,
+         no data read at all.
+      2. PRECISE: only when the bound exceeds the budget, run the real emit
+         kernel over the deterministic sample and extrapolate bytes/turn
+         (x1.5 margin) from the exact footer row count.
+    Budget = cfg.packed_budget_bytes or object_store_fraction of the
+    cluster object store. Returns (strategy, decision report)."""
     if cfg.reduce_strategy != "auto":
         return cfg.reduce_strategy, {"mode": "explicit"}
-    n_rows = count_input_rows(transcripts_path)
-    per_turn = estimate_packed_bytes_per_turn(transcripts_path, cfg)
-    est = int(per_turn * n_rows * 1.5)
     budget = (
         cfg.packed_budget_bytes
         if cfg.packed_budget_bytes is not None
         else int(cfg.object_store_fraction * _object_store_bytes())
     )
+    upper = 2 * _text_uncompressed_bytes(transcripts_path)
+    if upper <= budget:
+        return "direct", {"mode": "auto", "upper_bound_bytes": upper, "budget_bytes": budget}
+    n_rows = count_input_rows(transcripts_path)
+    per_turn = estimate_packed_bytes_per_turn(transcripts_path, cfg)
+    est = int(per_turn * n_rows * 1.5)
     strategy = "direct" if est <= budget else "sort_groupby"
     return strategy, {
         "mode": "auto",
+        "upper_bound_bytes": upper,
         "est_packed_bytes": est,
         "budget_bytes": budget,
         "bytes_per_turn": round(per_turn, 2),

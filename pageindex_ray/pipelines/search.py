@@ -16,12 +16,17 @@ scorer and WAND):
 
 idf is computed at QUERY time from df so that hot-term salting stays exact:
 a salted term's sub-lists each carry a PARTIAL df; the engine sums them
-before computing idf. Two scorers over the same fetched postings:
-  - exhaustive: vectorized decode + stable-sorted segmented reduction
-    (default — C-speed, optimal for the sandbox's posting sizes);
+before computing idf. Three scorers, all bit-identical (tested):
+  - exhaustive (driver): shards decode + factor-score their own terms
+    (``PostingShard.fetch_scored`` — the per-query decode CPU runs on the
+    shard pool), the driver applies idf and scatter-adds;
+  - DISTRIBUTED (default at >=1M docs): a ``RangeScorer`` actor pool owns
+    conv-aligned doc ranges, accumulates idf*factor locally and returns
+    per-range top-k partials; the driver k-way merges. Removes the driver's
+    O(n_docs) accumulator and makes query latency scale with the cluster
+    (state/scorers.py);
   - block-max WAND (wand.py): document-at-a-time with idf*max_factor
-    pruning; rank-identical by construction (tested), wins when lists are
-    enormous relative to k.
+    pruning; wins when lists are enormous relative to k.
 """
 
 from __future__ import annotations

@@ -137,7 +137,7 @@ def test_auto_reduce_strategy_switch(ray_session, tiny_corpus, tmp_path):
     )
     assert ra["reduce_strategy"] == "direct"
     assert ra["reduce_strategy_info"]["mode"] == "auto"
-    assert ra["reduce_strategy_info"]["est_packed_bytes"] > 0
+    assert ra["reduce_strategy_info"]["upper_bound_bytes"] > 0
     rb = build_index(
         tiny_corpus["transcripts"],
         b,
