@@ -57,7 +57,9 @@ class RangeScorer:
         missing = [t for t, _ in term_idfs if t not in self._cache]
         if not missing:
             return
-        futures = [s.fetch_scored.remote(missing) for s in self.shards]
+        # shard-side range slicing: only this range's postings leave the
+        # shards — R scorers pull 1x the decoded postings in aggregate
+        futures = [s.fetch_scored_range.remote(missing, self.lo, self.hi) for s in self.shards]
         fetched: dict[str, list[dict]] = {t: [] for t in missing}
         for res in ray.get(futures):
             for t, infos in res.items():
@@ -67,12 +69,10 @@ class RangeScorer:
             slices = []
             for info in fetched[t]:
                 ids = info["ids"]
-                a = int(np.searchsorted(ids, self.lo, side="left"))
-                b = int(np.searchsorted(ids, self.hi, side="left"))
-                if b > a:
-                    contrib = idf_of[t] * info["factor"][a:b]
-                    slices.append((ids[a:b] - self.lo, contrib))
-                    self._cache_elems += 2 * (b - a)
+                if len(ids):
+                    contrib = idf_of[t] * info["factor"]
+                    slices.append((ids - self.lo, contrib))
+                    self._cache_elems += 2 * len(ids)
             if self._cache_elems > self._cache_budget:
                 self._cache.clear()
                 self._cache_elems = 0

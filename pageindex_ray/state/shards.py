@@ -98,27 +98,60 @@ class PostingShard:
         factor-scored in the shard (idf applied by the caller)."""
         out: dict[str, list[dict]] = {}
         for t in terms:
-            infos = self.terms.get(t)
-            if infos is None:
-                continue
-            cached = self._scored.get(t)
-            if cached is None:
-                cached = []
-                for info in infos:
-                    ids, tfs, dls = decode_consolidated(info)
-                    tf = tfs.astype(np.float64)
-                    dl = dls.astype(np.float64)
-                    # identical float64 expression order as the oracle/driver
-                    factor = tf * (self.k1 + 1.0) / (
-                        tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-                    )
-                    cached.append(
-                        {"part": info["part"], "df": info["df"], "ids": ids, "factor": factor}
-                    )
-                    self._cache_elems += 2 * len(ids)
-                if self._cache_elems > self._cache_budget:
-                    self._scored.clear()
-                    self._cache_elems = 0
-                self._scored[t] = cached
-            out[t] = cached
+            if (cached := self._scored_term(t)) is not None:
+                out[t] = cached
         return out
+
+    def fetch_scored_range(self, terms: list[str], lo: int, hi: int) -> dict[str, list[dict]]:
+        """Range-sliced form for the doc-range scorer pool: only postings
+        with lo <= doc_id < hi leave the shard, so R scorers pull 1x the
+        decoded postings in aggregate instead of R copies each (the decode
+        cache still holds whole terms — slicing is two searchsorted + a
+        zero-copy view per sub-list)."""
+        out: dict[str, list[dict]] = {}
+        for t in terms:
+            cached = self._scored_term(t)
+            if cached is None:
+                continue
+            slices = []
+            for info in cached:
+                ids = info["ids"]
+                a = int(np.searchsorted(ids, lo, side="left"))
+                b = int(np.searchsorted(ids, hi, side="left"))
+                if b > a:
+                    slices.append(
+                        {
+                            "part": info["part"],
+                            "df": info["df"],
+                            "ids": ids[a:b],
+                            "factor": info["factor"][a:b],
+                        }
+                    )
+            if slices:
+                out[t] = slices
+        return out
+
+    def _scored_term(self, t: str) -> list[dict] | None:
+        infos = self.terms.get(t)
+        if infos is None:
+            return None
+        cached = self._scored.get(t)
+        if cached is None:
+            cached = []
+            for info in infos:
+                ids, tfs, dls = decode_consolidated(info)
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                # identical float64 expression order as the oracle/driver
+                factor = tf * (self.k1 + 1.0) / (
+                    tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                )
+                cached.append(
+                    {"part": info["part"], "df": info["df"], "ids": ids, "factor": factor}
+                )
+                self._cache_elems += 2 * len(ids)
+            if self._cache_elems > self._cache_budget:
+                self._scored.clear()
+                self._cache_elems = 0
+            self._scored[t] = cached
+        return cached
