@@ -30,9 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salt-factor", type=int, default=8)
     b.add_argument(
         "--reduce",
-        choices=["direct", "sort_groupby"],
-        default="direct",
-        help="reduce transport: direct hash reduce (default) or Ray sort shuffle",
+        choices=["auto", "direct", "sort_groupby"],
+        default="auto",
+        help="reduce transport: auto (size-based, default), direct hash reduce, or Ray sort shuffle",
     )
 
     s = sub.add_parser("search", help="BM25 top-k against a built index")
@@ -40,8 +40,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--conv", action="store_true", help="conversation granularity")
+    s.add_argument(
+        "--segment", type=int, default=0, metavar="SPAN",
+        help="segment granularity with the given turn span (e.g. 4)",
+    )
     s.add_argument("--wand", action="store_true", help="use block-max WAND")
     s.add_argument("--shards", type=int, default=8)
+    s.add_argument(
+        "--scorers", default="auto",
+        help="doc-range scorer pool size (int) or 'auto' (engages at >=1M docs)",
+    )
 
     q = sub.add_parser("bench-queries", help="p50 latency over a query parquet")
     q.add_argument("--index", required=True)
@@ -76,12 +84,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "search":
             from .pipelines.search import SearchEngine
 
-            eng = SearchEngine(args.index, num_shards=args.shards)
+            scorers = args.scorers if args.scorers == "auto" else int(args.scorers)
+            eng = SearchEngine(args.index, num_shards=args.shards, num_scorers=scorers)
+            gran = "conv" if args.conv else ("segment" if args.segment else "turn")
             hits = eng.search(
                 args.query,
                 k=args.k,
-                granularity="conv" if args.conv else "turn",
+                granularity=gran,
                 use_wand=args.wand,
+                segment_span=args.segment or 4,
             )
             print(json.dumps(hits))
             eng.shutdown()

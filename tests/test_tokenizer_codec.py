@@ -75,3 +75,45 @@ def test_posting_blocks_roundtrip(n):
         assert blk["max_factor"] >= factors[pos : pos + c].max() - 1e-12
         pos += c
     assert pos == n
+
+
+def test_mulmod_p61_exact_vs_python_ints():
+    """The split-multiply mod (2^61-1) must equal exact Python-int
+    arithmetic for arbitrary uint64 inputs (the universal-hash family
+    guarantee the MinHash docstring claims)."""
+    import numpy as np
+
+    from pageindex_ray.functions.hashes import _MERSENNE, _mod_p61, _mulmod_p61
+
+    rng = np.random.default_rng(123)
+    a = rng.integers(0, _MERSENNE, 500, dtype=np.uint64)
+    x64 = rng.integers(0, np.iinfo(np.uint64).max, 500, dtype=np.uint64)
+    x = _mod_p61(x64)
+    got = _mulmod_p61(a, x)
+    for i in range(500):
+        assert int(got[i]) == (int(a[i]) * int(x[i])) % _MERSENNE
+
+
+def test_minhash_signature_batch_matches_single():
+    """signature_batch's segmented-min vectorization must equal per-doc
+    signature() exactly, including empty and short documents."""
+    import numpy as np
+
+    from pageindex_ray.functions.hashes import MinHasher
+
+    h = MinHasher(num_perm=32)
+    texts = ["alpha beta gamma delta", "", "one two", "alpha beta gamma delta epsilon zeta", "x"]
+    batch = h.signature_batch(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(batch[i], h.signature(t)), i
+
+
+def test_shingle_hash_order_sensitivity():
+    """Window hashes must distinguish token order and k-window content."""
+    from pageindex_ray.functions.hashes import shingle_hashes
+
+    a = set(shingle_hashes("the quick brown fox jumps").tolist())
+    b = set(shingle_hashes("quick the brown fox jumps").tolist())
+    assert a != b
+    c = set(shingle_hashes("the quick brown fox jumps").tolist())
+    assert a == c
