@@ -39,15 +39,27 @@ class RangeScorer:
     ``bases``/``names``: conv base offsets and conv_ids for the range —
     conv_bases[0] == lo and every conv in the slice ends before hi."""
 
-    def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names):
+    # ranges wider than this use sort-based accumulation instead of a dense
+    # range-length buffer (same guard as SearchEngine._BINCOUNT_MAX_N: a
+    # dense float64 buffer over a 10^12/R-doc range would be hundreds of GB;
+    # the sort path is O(postings log postings) and bit-identical because a
+    # stable doc-order sort preserves the ascending-term add order per doc)
+    _DENSE_MAX_RANGE = 64_000_000
+
+    def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names,
+                 dense_max_range: int | None = None):
         self.shards = list(shards)
         self.lo = int(lo)
         self.hi = int(hi)
         self.bases = np.asarray(bases, dtype=np.int64)
         self.names = np.asarray(names, dtype=object)
         self.n = self.hi - self.lo
-        self.buf = np.zeros(self.n, dtype=np.float64)
-        self.touched = np.zeros(self.n, dtype=bool)
+        self.dense = self.n <= (
+            dense_max_range if dense_max_range is not None else self._DENSE_MAX_RANGE
+        )
+        if self.dense:
+            self.buf = np.zeros(self.n, dtype=np.float64)
+            self.touched = np.zeros(self.n, dtype=bool)
         # term -> list of (ids_slice - lo, contrib_slice) with idf applied
         self._cache: dict[str, list[tuple]] = {}
         self._cache_elems = 0
@@ -79,20 +91,37 @@ class RangeScorer:
             self._cache[t] = slices
 
     def _accumulate(self, terms: list[str]):
-        buf, touched = self.buf, self.touched
-        hit = False
-        for t in terms:  # ascending term order == oracle accumulation order
+        if self.dense:
+            buf, touched = self.buf, self.touched
+            hit = False
+            for t in terms:  # ascending term order == oracle accumulation order
+                for ids, contrib in self._cache.get(t, ()):
+                    buf[ids] += contrib
+                    touched[ids] = True
+                    hit = True
+            if not hit:
+                return None
+            uniq = np.flatnonzero(touched)
+            vals = buf[uniq].copy()
+            buf[uniq] = 0.0
+            touched[uniq] = False
+            return uniq, vals
+        # sort path: concatenate sub-lists in ascending-term order, stable
+        # sort by doc — per-doc contributions keep term order, reduceat sums
+        # them exactly as the dense scatter-add does
+        id_parts, c_parts = [], []
+        for t in terms:
             for ids, contrib in self._cache.get(t, ()):
-                buf[ids] += contrib
-                touched[ids] = True
-                hit = True
-        if not hit:
+                id_parts.append(ids)
+                c_parts.append(contrib)
+        if not id_parts:
             return None
-        uniq = np.flatnonzero(touched)
-        vals = buf[uniq].copy()
-        buf[uniq] = 0.0
-        touched[uniq] = False
-        return uniq, vals
+        ids = np.concatenate(id_parts)
+        contribs = np.concatenate(c_parts)
+        order = np.argsort(ids, kind="stable")
+        ids, contribs = ids[order], contribs[order]
+        uniq, starts = np.unique(ids, return_index=True)
+        return uniq, np.add.reduceat(contribs, starts)
 
     def score_many(
         self,
@@ -157,7 +186,8 @@ class RangeScorer:
         return names[order], u_seg[order], sscores[order]
 
 
-def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int):
+def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int,
+                     dense_max_range: int | None = None):
     """Create RangeScorer actors over conv-aligned doc ranges of ~equal size.
 
     Ranges split the conversation table (never a conversation), so every
@@ -174,7 +204,8 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
         hi = int(conv_bases[cj]) if cj < n_convs else int(n_docs)
         scorers.append(
             RangeScorer.remote(
-                shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object)
+                shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object),
+                dense_max_range,
             )
         )
     return scorers

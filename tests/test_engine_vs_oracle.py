@@ -173,3 +173,37 @@ def test_segment_rollup_matches_oracle(engine, built_index, oracle_index):
         assert [(r["conv_id"], r["seg_start"]) for r in got] == [k for k, _ in want]
         for r, (_, s) in zip(got, want):
             assert abs(r["score"] - s) <= 1e-9 * max(1.0, abs(s))
+
+
+def test_range_scorer_sort_path_matches_dense(ray_session, built_index):
+    """The sort-based accumulation fallback (ranges too wide for a dense
+    buffer) must be bit-identical to the dense scatter-add path."""
+    import numpy as np
+
+    from pageindex_ray.pipelines.search import SearchEngine
+    from pageindex_ray.state.scorers import make_scorer_pool
+
+    e = SearchEngine(built_index["index_dir"], num_shards=2)
+    dense_pool = make_scorer_pool(e.shards, e.conv_bases, e.conv_ids, e.n_docs, 3)
+    sort_pool = make_scorer_pool(
+        e.shards, e.conv_bases, e.conv_ids, e.n_docs, 3, dense_max_range=0
+    )
+    try:
+        for _, qtext in _queries(built_index):
+            terms = e._term_idfs(sorted(set(qtext.lower().split())))
+            if not terms:
+                continue
+            import ray as _ray
+
+            for gran in ("turn", "conv", "segment"):
+                a = _ray.get([s.score.remote(terms, 10, gran) for s in dense_pool])
+                b = _ray.get([s.score.remote(terms, 10, gran) for s in sort_pool])
+                for pa_, pb_ in zip(a, b):
+                    for xa, xb in zip(pa_, pb_):
+                        assert np.array_equal(xa, xb), (qtext, gran)
+    finally:
+        import ray as _ray
+
+        for s in (*dense_pool, *sort_pool):
+            _ray.kill(s)
+        e.shutdown()
