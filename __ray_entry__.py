@@ -448,6 +448,21 @@ def _q_conv_salient_summary(sf_dir: str):
     return conv_salient_summary(sf_dir)
 
 
+def _q_corpus_curation(sf_dir: str):
+    import shutil
+
+    from pageindex_ray.pipelines.curation import curate_corpus
+
+    out_dir = os.path.join(
+        "/tmp/pageindex_ray_curated", os.path.basename(os.path.normpath(sf_dir))
+    )
+    # fresh run each invocation so the driver exercises the full pipeline
+    # (the resumable skip path is pytest-covered)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    return curate_corpus(sf_dir, out_dir)
+
+
 def _q_event_mode(sf_dir: str):
     from pageindex_ray.pipelines.conversations import event_type_mode
 
@@ -484,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_text_fingerprint": _q_conv_fingerprint,
         "conv_summaries": _q_conv_summaries,
         "conv_salient_summary": _q_conv_salient_summary,
+        "corpus_curation": _q_corpus_curation,
         "event_type_mode": _q_event_mode,
         "events_tumbling": _q_events_tumbling,
         "parts_by_brand": _q_parts_by_brand,
@@ -797,6 +813,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(list_slice(b.toks, 1, 10), ' '), '') AS summary
             FROM pick p JOIN base b ON b.conv_id = p.conv_id AND b.turn_idx = p.turn_idx
             WHERE p.rn = 1
+        """,
+        "corpus_curation": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            ), f AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / greatest(len(toks), 1) AS ratio
+              FROM t
+            ), surv AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            )
+            SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens
+            FROM f JOIN surv ON surv.doc_id = f.doc_id
+            WHERE f.n_tokens >= 20 AND f.ratio >= 0.05 AND f.ratio <= 0.5
         """,
         "event_type_mode": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n

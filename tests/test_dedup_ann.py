@@ -143,3 +143,26 @@ def test_brute_force_matches_numpy_oracle(ray_session):
         order = np.lexsort((np.arange(n), -row))[:5]
         got = out[out["query_id"] == qi]["vec_id"].tolist()
         assert got == order.tolist()
+
+
+def test_corpus_curation_resumable_sink(ray_session, tmp_path):
+    """The curation sink commits atomically (_SUCCESS) and a re-run with the
+    marker present reuses the partitioned output instead of recomputing."""
+    import os
+    import time
+
+    from pageindex_ray.pipelines.curation import curate_corpus
+
+    out = str(tmp_path / "curated")
+    os.makedirs(out, exist_ok=True)
+    first = curate_corpus("/root/testdata/sf0.001", out).to_pandas()
+    assert len(first) > 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    parts = [d for d in os.listdir(out) if d.startswith("part=")]
+    assert len(parts) > 1  # partitioned, not one giant file
+    t0 = time.perf_counter()
+    second = curate_corpus("/root/testdata/sf0.001", out).to_pandas()
+    assert time.perf_counter() - t0 < 5.0  # read-back, no recompute
+    a = first.sort_values("doc_id").reset_index(drop=True)
+    b = second.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
