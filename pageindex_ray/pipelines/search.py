@@ -194,12 +194,23 @@ class SearchEngine:
         """Decoded (doc_ids, contribs) per term via the cache. Salted
         sub-lists are merged (doc-id sort; sub-lists are disjoint by
         doc_id % S) and idf comes from the SUMMED df."""
-        missing = [t for t in terms if t not in self._decoded]
+        # Build the query's arrays in a LOCAL dict first: a cache eviction
+        # mid-query must never drop a term the query still needs (clearing
+        # self._decoded before returning used to silently lose contributions
+        # once the budget tripped).
+        local: dict[str, tuple | None] = {}
+        missing = []
+        for t in terms:
+            if t in self._decoded:
+                local[t] = self._decoded[t]
+            else:
+                missing.append(t)
         if missing:
             fetched = self.fetch_scored(missing)
             for t in missing:
                 infos = fetched.get(t)
                 if not infos:
+                    local[t] = None
                     self._decoded[t] = None
                     continue
                 if len(infos) == 1:
@@ -215,12 +226,13 @@ class SearchEngine:
                     ids, factor = ids[order], factor[order]
                 df = int(sum(info["df"] for info in infos))
                 contrib = self.idf(df) * factor
+                local[t] = (ids, contrib)
                 self._decoded[t] = (ids, contrib)
                 self._cache_elems += 2 * len(ids)
         if self._cache_elems > self._cache_budget:
             self._decoded.clear()
             self._cache_elems = 0
-        return {t: v for t in terms if (v := self._decoded.get(t)) is not None}
+        return {t: v for t in terms if (v := local.get(t)) is not None}
 
     # ----------------------------------------------------------------- score
 

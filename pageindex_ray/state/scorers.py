@@ -65,10 +65,19 @@ class RangeScorer:
         self._cache_elems = 0
         self._cache_budget = 64_000_000
 
-    def _ensure_terms(self, term_idfs: list[tuple[str, float]]) -> None:
-        missing = [t for t, _ in term_idfs if t not in self._cache]
+    def _ensure_terms(self, term_idfs: list[tuple[str, float]]) -> dict[str, list[tuple]]:
+        """-> {term: [(local_ids, contrib), ...]} for the query, as a LOCAL
+        dict — a cache eviction can never drop a term this query still needs
+        (the cache is a best-effort store, evicted wholesale over budget)."""
+        local: dict[str, list[tuple]] = {}
+        missing = []
+        for t, _ in term_idfs:
+            if t in self._cache:
+                local[t] = self._cache[t]
+            else:
+                missing.append(t)
         if not missing:
-            return
+            return local
         # shard-side range slicing: only this range's postings leave the
         # shards — R scorers pull 1x the decoded postings in aggregate
         futures = [s.fetch_scored_range.remote(missing, self.lo, self.hi) for s in self.shards]
@@ -85,17 +94,19 @@ class RangeScorer:
                     contrib = idf_of[t] * info["factor"]
                     slices.append((ids - self.lo, contrib))
                     self._cache_elems += 2 * len(ids)
-            if self._cache_elems > self._cache_budget:
-                self._cache.clear()
-                self._cache_elems = 0
+            local[t] = slices
             self._cache[t] = slices
+        if self._cache_elems > self._cache_budget:
+            self._cache.clear()
+            self._cache_elems = 0
+        return local
 
-    def _accumulate(self, terms: list[str]):
+    def _accumulate(self, terms: list[str], arrays: dict[str, list[tuple]]):
         if self.dense:
             buf, touched = self.buf, self.touched
             hit = False
             for t in terms:  # ascending term order == oracle accumulation order
-                for ids, contrib in self._cache.get(t, ()):
+                for ids, contrib in arrays.get(t, ()):
                     buf[ids] += contrib
                     touched[ids] = True
                     hit = True
@@ -111,7 +122,7 @@ class RangeScorer:
         # them exactly as the dense scatter-add does
         id_parts, c_parts = [], []
         for t in terms:
-            for ids, contrib in self._cache.get(t, ()):
+            for ids, contrib in arrays.get(t, ()):
                 id_parts.append(ids)
                 c_parts.append(contrib)
         if not id_parts:
@@ -155,8 +166,8 @@ class RangeScorer:
         from ..pipelines.search import topk_from_scores
 
         terms = sorted(t for t, _ in term_idfs)
-        self._ensure_terms(term_idfs)
-        acc = self._accumulate(terms)
+        arrays = self._ensure_terms(term_idfs)
+        acc = self._accumulate(terms, arrays)
         if acc is None:
             if granularity == "turn":
                 return np.empty(0, np.int64), np.empty(0, np.float64)

@@ -207,3 +207,20 @@ def test_range_scorer_sort_path_matches_dense(ray_session, built_index):
         for s in (*dense_pool, *sort_pool):
             _ray.kill(s)
         e.shutdown()
+
+
+def test_cache_eviction_does_not_lose_results(ray_session, built_index):
+    """A decoded-term cache eviction mid-query must never drop terms the
+    in-flight query needs (regression: clearing before returning used to
+    yield silently empty/partial results once the budget tripped)."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    ref = SearchEngine(built_index["index_dir"], num_shards=2)
+    tiny = SearchEngine(built_index["index_dir"], num_shards=2)
+    tiny._cache_budget = 0  # every fill trips the budget
+    try:
+        for _, qtext in _queries(built_index):
+            assert tiny.search(qtext, k=10) == ref.search(qtext, k=10), qtext
+    finally:
+        ref.shutdown()
+        tiny.shutdown()
