@@ -180,17 +180,23 @@ def embedding_near_dup(ds: "ray.data.Dataset", threshold: float = 0.3) -> "ray.d
 
 
 class HyperplaneBander:
-    """map_batches stage: sign-bit LSH band keys for each embedding.
+    """map_batches stage: sign-bit LSH band keys for each embedding — IDS
+    ONLY (the embedding payload never rides the band shuffle; candidate
+    pairs fetch their two vectors through the pair-embedding join below).
     ``n_bands`` tables of ``n_planes`` seeded random hyperplanes each; docs
     agreeing on every sign in some band land in the same bucket."""
 
-    def __init__(self, dim: int, n_planes: int = 8, n_bands: int = 4, seed: int = 13):
+    def __init__(self, dim: int, n_planes: int = 8, n_bands: int = 4, seed: int = 13,
+                 n_buckets: int = 256):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((n_bands, n_planes, dim))
         self.n_bands = n_bands
         self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _gbucket
+
         ids = batch.column("vec_id").to_numpy().astype(np.int64)
         m = _as_matrix(batch.column("embedding"))
         n = len(ids)
@@ -198,20 +204,134 @@ class HyperplaneBander:
         for t in range(self.n_bands):
             bits = (m @ self.planes[t].T) > 0  # (n, n_planes)
             keys.append(bits @ self.weights)
-            band_ids.append(np.full(n, t, dtype=np.int32))
+            band_ids.append(np.full(n, t, dtype=np.int64))
+        band_ids = np.concatenate(band_ids)
+        band_keys = np.concatenate(keys)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids.astype(np.int32), type=pa.int32()),
+                "band_key": pa.array(band_keys, type=pa.int64()),
+                "doc_id": pa.array(np.tile(ids, self.n_bands), type=pa.int64()),
+                "gbucket": pa.array(_gbucket([band_ids, band_keys], self.n_buckets), type=pa.int64()),
+            }
+        )
+
+
+def _pair_embedding_verify(
+    pairs: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    threshold: float,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Exact cosine for each candidate (doc_a, doc_b) pair via a distributed
+    embedding join — the vector twin of dedup._pair_text_join: candidate
+    pairs and corpus vectors meet in doc_id macro buckets, then pair buckets
+    compute all cosines with one rowwise-dot batch."""
+    from .dedup import _gbucket, _runs
+
+    emb_type = None
+
+    def to_requests(batch: pa.Table) -> pa.Table:
+        nonlocal emb_type
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "p_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "p_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                "embedding": pa.nulls(2 * len(a), type=pa.list_(pa.float32())),
+                "gbucket": pa.array(_gbucket([doc], n_buckets), type=pa.int64()),
+            }
+        )
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        doc = batch.column("vec_id").to_numpy().astype(np.int64)
+        n = len(doc)
+        fill = np.full(n, -1, dtype=np.int64)
         emb = batch.column("embedding")
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
-        if isinstance(emb, pa.ChunkedArray):  # older pyarrow keeps the wrapper
-            emb = emb.chunk(0) if emb.num_chunks else pa.array([], type=emb.type)
         return pa.table(
             {
-                "band_id": pa.array(np.concatenate(band_ids), type=pa.int32()),
-                "band_key": pa.array(np.concatenate(keys), type=pa.int64()),
-                "vec_id": pa.array(np.tile(ids, self.n_bands), type=pa.int64()),
-                "embedding": pa.concat_arrays([emb] * self.n_bands),
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "p_a": pa.array(fill, type=pa.int64()),
+                "p_b": pa.array(fill, type=pa.int64()),
+                "embedding": emb.cast(pa.list_(pa.float32())),
+                "gbucket": pa.array(_gbucket([doc], n_buckets), type=pa.int64()),
             }
         )
+
+    def attach(g: pa.Table) -> pa.Table:
+        p_a = g.column("p_a").to_numpy().astype(np.int64)
+        is_doc = p_a == -1
+        if not (~is_doc).any() or not is_doc.any():
+            return pa.schema(
+                [("p_a", pa.int64()), ("p_b", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ).empty_table()
+        doc_ids = g.column("doc_id").to_numpy().astype(np.int64)
+        emb = g.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        doc_rows = np.flatnonzero(is_doc)
+        c_ids = doc_ids[doc_rows]
+        order = np.argsort(c_ids, kind="stable")
+        c_ids, doc_rows = c_ids[order], doc_rows[order]
+        req_rows = np.flatnonzero(~is_doc)
+        pos = np.clip(np.searchsorted(c_ids, doc_ids[req_rows]), 0, len(c_ids) - 1)
+        found = c_ids[pos] == doc_ids[req_rows]
+        req_rows = req_rows[found]
+        take_rows = doc_rows[pos[found]]
+        return pa.table(
+            {
+                "p_a": pa.array(p_a[req_rows], type=pa.int64()),
+                "p_b": pa.array(g.column("p_b").to_numpy().astype(np.int64)[req_rows], type=pa.int64()),
+                "embedding": emb.take(pa.array(take_rows)),
+            }
+        )
+
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        g = _gbucket([b.column("p_a").to_numpy(), b.column("p_b").to_numpy()], n_buckets)
+        return b.append_column("g2", pa.array(g, type=pa.int64()))
+
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())])
+
+    def verify(g: pa.Table) -> pa.Table:
+        a = g.column("p_a").to_numpy().astype(np.int64)
+        b = g.column("p_b").to_numpy().astype(np.int64)
+        m = _as_matrix(g.column("embedding"))
+        order = np.lexsort((b, a))
+        a, b, m = a[order], b[order], m[order]
+        starts, lens = _runs([a, b])
+        sel = lens == 2  # both sides present
+        s = starts[sel]
+        if not len(s):
+            return schema.empty_table()
+        m1, m2 = m[s], m[s + 1]
+        n1 = np.linalg.norm(m1, axis=1)
+        n2 = np.linalg.norm(m2, axis=1)
+        n1[n1 == 0] = 1.0
+        n2[n2 == 0] = 1.0
+        sims = (m1 * m2).sum(axis=1) / (n1 * n2)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(a[s][keep], type=pa.int64()),
+                "vec_b": pa.array(b[s][keep], type=pa.int64()),
+                "sim": pa.array(sims[keep], type=pa.float64()),
+            },
+            schema=schema,
+        )
+
+    reqs = pairs.map_batches(to_requests, batch_format="pyarrow")
+    docs = corpus.map_batches(corpus_rows, batch_format="pyarrow")
+    sides = reqs.union(docs).groupby("gbucket").map_groups(attach, batch_format="pyarrow")
+    return (
+        sides.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("g2")
+        .map_groups(verify, batch_format="pyarrow")
+    )
 
 
 def embedding_near_dup_lsh(
@@ -223,49 +343,28 @@ def embedding_near_dup_lsh(
     max_bucket: int = 4000,
 ) -> "ray.data.Dataset":
     """Approximate near-dup pairs via random-hyperplane LSH bucketing:
-    candidate pairs share a full sign pattern in at least one band; exact
-    cosine verify per bucket. Sub-quadratic; recall grows with n_bands and
+    candidate pairs share a full sign pattern in at least one band (ids-only
+    macro-bucketed candidate generation — the embedding payload never rides
+    the band shuffle), then exact cosine verify through the distributed
+    pair-embedding join. Sub-quadratic; recall grows with n_bands and
     shrinks with n_planes (tested against the exact block-pair join)."""
+    from .dedup import N_GROUP_BUCKETS, _bucket_pairs, _distinct_pairs
+
     head = ds.limit(1).take_batch(batch_format="pyarrow")
     dim = len(head.column("embedding")[0])
-    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())])
 
-    def verify(g: pa.Table) -> pa.Table:
-        ids = g.column("vec_id").to_numpy().astype(np.int64)
-        order = np.argsort(ids)
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return schema.empty_table()
-        m = _as_matrix(g.column("embedding"))[order]
-        ids = ids[order]
-        norm = np.linalg.norm(m, axis=1)
-        norm[norm == 0] = 1.0
-        sims = (m @ m.T) / (norm[:, None] * norm[None, :])
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[ia][keep], type=pa.int64()),
-                "vec_b": pa.array(ids[ib][keep], type=pa.int64()),
-                "sim": pa.array(sims[ia, ib][keep], type=pa.float64()),
-            },
-            schema=schema,
-        )
-
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1).cast(schema)
-
-    pairs = (
-        ds.map_batches(
-            HyperplaneBander,
-            fn_constructor_args=(dim, n_planes, n_bands, seed),
-            batch_format="pyarrow",
-            batch_size=2048,
-            concurrency=(1, 8),
-        )
-        .groupby(["band_id", "band_key"])
-        .map_groups(verify, batch_format="pyarrow")
+    bands = ds.map_batches(
+        HyperplaneBander,
+        fn_constructor_args=(dim, n_planes, n_bands, seed, N_GROUP_BUCKETS),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
     )
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(first, batch_format="pyarrow")
+    pairs = bands.groupby("gbucket").map_groups(
+        _bucket_pairs(["band_id", "band_key"], max_bucket), batch_format="pyarrow"
+    )
+    candidates = _distinct_pairs(pairs, N_GROUP_BUCKETS)
+    return _pair_embedding_verify(candidates, ds, threshold, N_GROUP_BUCKETS)
 
 
 # --------------------------------------------------------------------------
