@@ -37,24 +37,73 @@ from ..sources.readers import read_parquet_clean
 from ..tokenizer import tokenize
 
 
-def conv_text_fingerprint(sf_dir: str) -> "ray.data.Dataset":
-    """Per conversation: n_turns and md5 of the turn-ordered concatenated
-    text (space-joined) — validates stable turn ordering end-to-end."""
-    tpath, _ = ensure_corpus(sf_dir)
-    ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
+def _conv_bucket_col(conv: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic macro bucket for string conv ids (zlib.crc32 — stable
+    across processes, unlike hash())."""
+    import zlib
 
-    def concat(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")
-        joined = " ".join(t if t is not None else "" for t in g["text"])
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": [len(g)],
-                "text_md5": [hashlib.md5(joined.encode("utf-8")).hexdigest()],
-            }
+    return np.fromiter(
+        (zlib.crc32(str(c).encode("utf-8")) % n_buckets for c in conv),
+        dtype=np.int64,
+        count=len(conv),
+    )
+
+
+def _bucketed_by_conv(ds: "ray.data.Dataset", fn, n_buckets: int = 256) -> "ray.data.Dataset":
+    """Group a transcripts-shaped dataset by conv macro bucket (hundreds of
+    groups instead of one Ray group per conversation — at 10^10+ convs the
+    per-group Python call would dominate) and apply ``fn`` per bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        return batch.replace_schema_metadata(None).append_column(
+            "gbucket", pa.array(_conv_bucket_col(conv, n_buckets), type=pa.int64())
         )
 
-    return ds.groupby("conv_id").map_groups(concat, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+
+
+def conv_text_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """Per conversation: n_turns and md5 of the turn-ordered concatenated
+    text (space-joined) — validates stable turn ordering end-to-end.
+    Conversations are processed per macro bucket: one lexsort finds every
+    conversation's run; the join+md5 per conversation is the actual work."""
+    tpath, _ = ensure_corpus(sf_dir)
+    ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
+    schema = pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()), ("text_md5", pa.string())])
+
+    def concat(g: pa.Table) -> pa.Table:
+        conv = np.asarray(g.column("conv_id").to_pylist(), dtype=object)
+        turn = g.column("turn_idx").to_numpy().astype(np.int64)
+        texts = g.column("text").to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv, texts = conv[order], texts[order]
+        change = np.zeros(len(conv), dtype=bool)
+        if len(conv):
+            change[0] = True
+            change[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(conv))
+        out_c, out_n, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            joined = " ".join(t if t is not None else "" for t in texts[s:e])
+            out_c.append(conv[s])
+            out_n.append(int(e - s))
+            out_h.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "conv_id": pa.array(out_c, type=pa.string()),
+                "n_turns": pa.array(out_n, type=pa.int64()),
+                "text_md5": pa.array(out_h, type=pa.string()),
+            },
+            schema=schema,
+        )
+
+    return _bucketed_by_conv(ds, concat)
 
 
 class ExtractiveSummarizer:
@@ -79,12 +128,28 @@ class ExtractiveSummarizer:
 def conv_summaries(sf_dir: str) -> "ray.data.Dataset":
     tpath, _ = ensure_corpus(sf_dir)
     ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
+    schema = pa.schema([("conv_id", pa.string()), ("first_text", pa.string())])
 
-    def first_turn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")
-        return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]], "first_text": [g["text"].iloc[0]]})
+    def first_turn(g: pa.Table) -> pa.Table:
+        conv = np.asarray(g.column("conv_id").to_pylist(), dtype=object)
+        turn = g.column("turn_idx").to_numpy().astype(np.int64)
+        texts = g.column("text").to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv, texts = conv[order], texts[order]
+        change = np.zeros(len(conv), dtype=bool)
+        if len(conv):
+            change[0] = True
+            change[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(change)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], type=pa.string()),
+                "first_text": pa.array(texts[starts], type=pa.string()),
+            },
+            schema=schema,
+        )
 
-    firsts = ds.groupby("conv_id").map_groups(first_turn, batch_format="pandas")
+    firsts = _bucketed_by_conv(ds, first_turn)
     return firsts.map_batches(
         ExtractiveSummarizer,
         fn_constructor_args=(10,),
@@ -183,33 +248,42 @@ def conv_salient_summary(sf_dir: str) -> "ray.data.Dataset":
         [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("summary", pa.string())]
     )
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["sal"].notna()]
-        if not len(g):
-            return pd.DataFrame({"conv_id": [], "turn_idx": [], "summary": []}).astype(
-                {"conv_id": object, "turn_idx": np.int32, "summary": object}
-            )
-        g = g.sort_values(["sal", "turn_idx"], ascending=[False, True], kind="stable")
-        top = g.iloc[0]
-        return pd.DataFrame(
+    def pick(g: pa.Table) -> pa.Table:
+        sal_list = g.column("sal").to_pylist()
+        valid = np.asarray([s is not None for s in sal_list], dtype=bool)
+        if not valid.any():
+            return pick_schema.empty_table()
+        conv = np.asarray(g.column("conv_id").to_pylist(), dtype=object)[valid]
+        turn = g.column("turn_idx").to_numpy().astype(np.int64)[valid]
+        texts = g.column("text").to_numpy(zero_copy_only=False)[valid]
+        sal = np.asarray([s for s in sal_list if s is not None], dtype=np.int64)
+        # per conversation: (sal desc, turn asc) winner = run start after
+        # this lexsort (conv primary, -sal, then turn)
+        order = np.lexsort((turn, -sal, conv))
+        conv, turn, texts = conv[order], turn[order], texts[order]
+        change = np.zeros(len(conv), dtype=bool)
+        change[0] = True
+        change[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(change)
+        return pa.table(
             {
-                "conv_id": [top["conv_id"]],
-                "turn_idx": [np.int32(top["turn_idx"])],
-                "summary": [" ".join(tokenize(top["text"] or "")[:10])],
-            }
+                "conv_id": pa.array(conv[starts], type=pa.string()),
+                "turn_idx": pa.array(turn[starts].astype(np.int32), type=pa.int32()),
+                "summary": pa.array(
+                    [" ".join(tokenize(texts[s] or "")[:10]) for s in starts], type=pa.string()
+                ),
+            },
+            schema=pick_schema,
         )
 
-    return (
-        ds.map_batches(
-            SalienceScorer,
-            fn_constructor_args=(df_ref, n_docs),
-            batch_format="pyarrow",
-            batch_size=8192,
-            concurrency=(1, 4),
-        )
-        .groupby("conv_id")
-        .map_groups(pick, batch_format="pandas")
+    scored = ds.map_batches(
+        SalienceScorer,
+        fn_constructor_args=(df_ref, n_docs),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
     )
+    return _bucketed_by_conv(scored, pick)
 
 
 def event_type_mode(sf_dir: str) -> pa.Table:

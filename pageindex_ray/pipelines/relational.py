@@ -194,28 +194,68 @@ def customer_nation_rollup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
-def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
+def events_sessions(sf_dir: str, gap_seconds: int = 1800, n_buckets: int = 256) -> pa.Table:
     """Per-user sessionization: sort-within-group + gap rule — the windowed /
-    as-of pattern (sorted ``map_groups``, SURVEY.md §2.5 J3). Exact ints."""
+    as-of pattern (SURVEY.md §2.5 J3). Exact ints.
+
+    Users are grouped into macro buckets (user_id % n_buckets); ONE lexsort
+    per bucket orders every user's events, and the gap rule is evaluated
+    vectorized across the whole bucket with run-boundary resets — no
+    per-user Python call (at 10^8+ users, per-group map_groups would
+    dominate; same pattern as pipelines/dedup.py macro-bucketing)."""
     ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
     )
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        # normalize to ns regardless of the unit pandas picked for the column
-        ts_ns = pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
-        gaps = np.diff(ts_ns, prepend=ts_ns[0] if len(ts_ns) else 0)
-        new_session = gaps > gap_seconds * 1_000_000_000
-        return pd.DataFrame(
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("n_sessions", pa.int64())]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        ts_ns = batch.column("ts").cast(pa.int64()).to_numpy() * 1000  # us -> ns
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_session.sum()) + 1 if len(g) else 0],
+                "user_id": pa.array(uid, type=pa.int64()),
+                "ts_ns": pa.array(ts_ns, type=pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "gbucket": pa.array(uid % n_buckets, type=pa.int64()),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def sessionize(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy().astype(np.int64)
+        ts = g.column("ts_ns").to_numpy().astype(np.int64)
+        eid = g.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(uid)
+        if n == 0:
+            return schema.empty_table()
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid[1:] != uid[:-1]
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = 0
+        gaps[1:] = ts[1:] - ts[:-1]
+        new_session = (gaps > gap_seconds * 1_000_000_000) & ~change
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, n))
+        extra = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_events": pa.array(lens, type=pa.int64()),
+                "n_sessions": pa.array(extra + 1, type=pa.int64()),
+            },
+            schema=schema,
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
