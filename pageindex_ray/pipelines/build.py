@@ -219,8 +219,15 @@ def build_index(
     transcripts_path: str | list[str],
     index_dir: str,
     cfg: BuildConfig = DEFAULT,
+    doc_base: int = 0,
 ) -> dict:
-    """Build (or resume) the inverted index. Returns a build report dict."""
+    """Build (or resume) the inverted index. Returns a build report dict.
+
+    ``doc_base``: global doc_id of this input's first turn — the WAVE build
+    hook (pipelines/merge.py): a 10^12-turn corpus builds as conv-ordered
+    waves, each wave indexed with its base offset, then merged without
+    re-tokenizing (posting payloads are avgdl-independent; only the WAND
+    max-factor metadata is recomputed under the merged stats)."""
     t_start = time.perf_counter()
     stage_t: dict[str, float] = {}
 
@@ -249,6 +256,8 @@ def build_index(
     offsets = compute_conv_offsets(ds, with_tokens=not docmap_in_emit)
     t0 = _mark("conv_offsets", t0)
     n_docs = offsets["n_docs"]
+    if doc_base:
+        offsets["bases"] = offsets["bases"] + doc_base
     offsets_ref = ray.put(offsets)
 
     # Persist the conv->base table: the query engine inverts doc_id back to
@@ -419,6 +428,7 @@ def build_index(
     present = sorted(set(built_parts) | completed)
     meta = {
         "n_docs": n_docs,
+        "doc_base": doc_base,
         "total_tokens": total_tokens,
         "avgdl": avgdl,
         "fingerprint": fingerprint,

@@ -1,0 +1,224 @@
+"""Wave-build index merge: the 10^12-turn build path.
+
+A corpus too large for one build wave (object-store envelope, or data that
+arrives over time) is indexed as CONV-ORDERED WAVES — each wave is a normal
+``build_index`` run over its conversation range with ``doc_base`` set to the
+global doc_id of its first turn — and merged here WITHOUT re-tokenizing:
+
+  - posting payloads (delta/varint doc ids, tfs, dls) are avgdl-independent,
+    so a term's merged list is the byte-level concatenation of its wave
+    sub-lists (waves are doc-ordered, so block order is already global);
+  - the ONLY recomputed field is each block's WAND ``max_factor``, which was
+    baked under the wave's local avgdl: merging changes avgdl, and a stale
+    bound in the wrong direction would let WAND prune true top-k docs. The
+    recompute decodes just the tf/dl varint streams (never doc ids) — the
+    cheap ~40% of a full decode;
+  - df/cf per (partition, term) are summed; wave hot-term sets are UNIONED
+    (the query router probes primary + salted partitions for hot terms, so
+    a term salted in one wave and unsalted in another resolves correctly);
+  - merged meta carries the GLOBAL n_docs/total_tokens/avgdl, so query-time
+    idf and factor use corpus-wide statistics — results are bit-identical
+    to a monolithic build of the full corpus (tested).
+
+Validation mirrors the build's lineage discipline: waves must be committed
+(_SUCCESS), contiguous in doc_id space, conv-ordered (the global dense-rank
+doc_id contract, FIXTURES.md F2), and built with identical scoring configs.
+Reference analogue: the reference's fixed 10-page/20k-token node splits +
+sequential accumulation (/root/reference/pageindex/page_index.py:992-1019)
+— here the split unit is a wave and the accumulation is a parallel
+per-partition merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import BuildConfig
+from ..stages.codec import varint_decode
+from ..stages.postings import POSTINGS_SCHEMA, stats_fingerprint
+
+_SCORING_KEYS = ("k1", "b", "block_size", "num_partitions", "salt_factor")
+
+
+def _load(index_dir: str) -> dict:
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        raise ValueError(f"wave {index_dir} has no _SUCCESS marker — refuse to merge")
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
+    """Merge committed wave indexes into one index at ``out_dir``."""
+    t0 = time.perf_counter()
+    metas = [_load(d) for d in index_dirs]
+    order = np.argsort([m.get("doc_base", 0) for m in metas])
+    dirs = [index_dirs[i] for i in order]
+    metas = [metas[i] for i in order]
+
+    head = metas[0]["config"]
+    for m in metas[1:]:
+        for k in _SCORING_KEYS:
+            if m["config"][k] != head[k]:
+                raise ValueError(f"wave configs differ on {k}: {m['config'][k]} != {head[k]}")
+    expect = metas[0].get("doc_base", 0)
+    for d, m in zip(dirs, metas):
+        base = m.get("doc_base", 0)
+        if base != expect:
+            raise ValueError(
+                f"waves are not contiguous in doc_id space: {d} starts at {base}, expected {expect}"
+            )
+        expect = base + m["n_docs"]
+
+    # conv ordering: the global dense-rank doc_id contract requires wave i's
+    # conversations to sort strictly before wave i+1's
+    offs = [pq.read_table(os.path.join(d, "conv_offsets.parquet")) for d in dirs]
+    for i in range(len(offs) - 1):
+        last = offs[i].column("conv_id")[-1].as_py()
+        first = offs[i + 1].column("conv_id")[0].as_py()
+        if not last < first:
+            raise ValueError(
+                f"wave conv ranges overlap/interleave: {dirs[i]} ends at {last!r}, "
+                f"{dirs[i + 1]} starts at {first!r}"
+            )
+
+    n_docs = sum(m["n_docs"] for m in metas)
+    doc_base = metas[0].get("doc_base", 0)
+    total_tokens = sum(m["total_tokens"] for m in metas)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    cfg = BuildConfig(**head)
+    hot_terms = sorted(set().union(*(set(m.get("hot_terms", [])) for m in metas)))
+    fingerprint = stats_fingerprint(n_docs, avgdl, cfg, hot_terms)
+    k1, b = cfg.k1, cfg.b
+
+    os.makedirs(os.path.join(out_dir, "postings"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_meta"), exist_ok=True)
+
+    all_parts = sorted(set().union(*(set(m.get("parts_present", [])) for m in metas)))
+
+    def merge_part(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for pid in batch.column("part").to_pylist():
+            per_term: dict[str, dict] = {}
+            term_order: list[str] = []
+            for d in dirs:
+                path = os.path.join(d, "postings", f"part-{pid:05d}.parquet")
+                if not os.path.exists(path):
+                    continue
+                for row in pq.read_table(path).to_pylist():
+                    acc = per_term.get(row["term"])
+                    if acc is None:
+                        per_term[row["term"]] = {
+                            "df": row["df"],
+                            "cf": row["cf"],
+                            "blocks": list(row["blocks"]),
+                        }
+                        term_order.append(row["term"])
+                    else:
+                        acc["df"] += row["df"]
+                        acc["cf"] += row["cf"]
+                        acc["blocks"].extend(row["blocks"])  # waves are doc-ordered
+            n_terms = 0
+            n_postings = 0
+            rows = []
+            for term in sorted(term_order):
+                acc = per_term[term]
+                for blk in acc["blocks"]:
+                    c = blk["count"]
+                    tf = varint_decode(blk["tfs"], c).astype(np.float64)
+                    dl = varint_decode(blk["dls"], c).astype(np.float64)
+                    factors = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    blk["max_factor"] = float(factors.max())
+                    n_postings += c
+                rows.append(
+                    {"term": term, "df": acc["df"], "cf": acc["cf"], "blocks": acc["blocks"]}
+                )
+                n_terms += 1
+            table = pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+            final = os.path.join(out_dir, "postings", f"part-{pid:05d}.parquet")
+            tmp = os.path.join(out_dir, "postings", f".tmp-{uuid.uuid4().hex}.parquet")
+            pq.write_table(table, tmp)
+            os.replace(tmp, final)
+            import hashlib
+
+            with open(final, "rb") as f:
+                file_md5 = hashlib.md5(f.read()).hexdigest()
+            lineage = {
+                "part": pid,
+                "n_terms": n_terms,
+                "n_postings": n_postings,
+                "file_md5": file_md5,
+                "fingerprint": fingerprint,
+                "wall_s": 0.0,
+                "merged_from": len(dirs),
+            }
+            ltmp = os.path.join(out_dir, "_meta", f".tmp-{uuid.uuid4().hex}.json")
+            with open(ltmp, "w") as f:
+                json.dump(lineage, f)
+            os.replace(ltmp, os.path.join(out_dir, "_meta", f"part-{pid:05d}.json"))
+            out_rows.append({"part": pid, "n_terms": n_terms, "n_postings": n_postings})
+        return pa.Table.from_pylist(
+            out_rows,
+            schema=pa.schema(
+                [("part", pa.int64()), ("n_terms", pa.int64()), ("n_postings", pa.int64())]
+            ),
+        )
+
+    report_rows = (
+        ray.data.from_items([{"part": p} for p in all_parts])
+        .map_batches(merge_part, batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+
+    merged_offsets = pa.concat_tables(offs)
+    off_tmp = os.path.join(out_dir, ".conv_offsets.tmp")
+    pq.write_table(merged_offsets, off_tmp)
+    os.replace(off_tmp, os.path.join(out_dir, "conv_offsets.parquet"))
+
+    # docmap rows already carry absolute doc ids — collect the wave files
+    dm_out = os.path.join(out_dir, "docmap")
+    if os.path.isdir(dm_out):
+        shutil.rmtree(dm_out)
+    os.makedirs(dm_out, exist_ok=True)
+    for wi, d in enumerate(dirs):
+        src = os.path.join(d, "docmap")
+        if os.path.isdir(src):
+            for fn in sorted(os.listdir(src)):
+                shutil.copy(os.path.join(src, fn), os.path.join(dm_out, f"wave{wi:03d}-{fn}"))
+
+    meta = {
+        "n_docs": n_docs,
+        "doc_base": doc_base,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "fingerprint": fingerprint,
+        "parts_present": all_parts,
+        "hot_terms": hot_terms,
+        "config": head,
+        "merged_from": dirs,
+    }
+    tmp = os.path.join(out_dir, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_waves": len(dirs),
+        "partitions_merged": len(all_parts),
+        "n_postings": int(report_rows["n_postings"].sum()),
+        "wall_s": time.perf_counter() - t0,
+        "index_dir": out_dir,
+    }

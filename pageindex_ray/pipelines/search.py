@@ -107,6 +107,9 @@ class SearchEngine:
         self.b = self.meta["config"]["b"]
         self.avgdl = self.meta["avgdl"]
         self.n_docs = self.meta["n_docs"]
+        # wave indexes (pipelines/merge.py) address docs from a base offset;
+        # the dense accumulator below is indexed relative to it
+        self.doc_base = int(self.meta.get("doc_base", 0))
         self.num_partitions = self.meta["config"]["num_partitions"]
         self.salt_factor = self.meta["config"].get("salt_factor", 1)
         self.hot_terms = set(self.meta.get("hot_terms", []))
@@ -156,7 +159,14 @@ class SearchEngine:
 
     def _parts_for_term(self, term: str) -> list[int]:
         if term in self.hot_terms and self.salt_factor > 1:
-            return sorted(set(salted_partitions(term, self.num_partitions, self.salt_factor)))
+            # primary INCLUDED: a merged index (pipelines/merge.py) can hold
+            # a wave that built this term unsalted (wave-local hot sets
+            # differ), so its postings live in the primary partition too;
+            # for a single-wave index the primary simply has no rows
+            return sorted(
+                set(salted_partitions(term, self.num_partitions, self.salt_factor))
+                | {term_partition(term, self.num_partitions)}
+            )
         return [term_partition(term, self.num_partitions)]
 
     def _fetch(self, terms: list[str], method: str) -> dict[str, list[dict]]:
@@ -264,15 +274,16 @@ class SearchEngine:
             # them (a term's doc_ids are unique, so `buf[ids] += c` is one
             # vectorized scatter-add per term)
             buf, touched = self._acc_buffers()
+            base = self.doc_base
             for t in terms:
                 ids, c = arrays[t]
-                buf[ids] += c
-                touched[ids] = True
+                buf[ids - base] += c
+                touched[ids - base] = True
             uniq = np.flatnonzero(touched)
             vals = buf[uniq].copy()
             buf[uniq] = 0.0
             touched[uniq] = False
-            return uniq, vals
+            return uniq + base, vals
         docs = np.concatenate([arrays[t][0] for t in terms])
         contribs = np.concatenate([arrays[t][1] for t in terms])
         order = np.argsort(docs, kind="stable")

@@ -145,3 +145,49 @@ def test_auto_reduce_strategy_switch(ray_session, tiny_corpus, tmp_path):
     )
     assert rb["reduce_strategy"] == "sort_groupby"
     assert _postings_content(a) == _postings_content(b)
+
+
+def test_wave_merge_matches_monolithic(ray_session, tiny_corpus, tmp_path):
+    """Wave builds (conv-ordered splits with doc_base offsets) merged via
+    merge_indexes must equal a monolithic build: identical logical postings
+    AND bit-identical query results (exhaustive and WAND) — the 10^12-turn
+    wave path of the north_rule's resumable-build requirement."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.merge import merge_indexes
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    src = pq.read_table(tiny_corpus["transcripts"])
+    convs = sorted(set(src.column("conv_id").to_pylist()))
+    mid = convs[len(convs) // 2]
+    import pyarrow.compute as pc
+
+    w1 = src.filter(pc.less(src.column("conv_id"), mid))
+    w2 = src.filter(pc.greater_equal(src.column("conv_id"), mid))
+    p1, p2 = str(tmp_path / "w1.parquet"), str(tmp_path / "w2.parquet")
+    pq.write_table(w1, p1)
+    pq.write_table(w2, p2)
+
+    cfg = BuildConfig(num_partitions=4)
+    full_dir = str(tmp_path / "full")
+    a_dir, b_dir, m_dir = str(tmp_path / "wa"), str(tmp_path / "wb"), str(tmp_path / "merged")
+    build_index(tiny_corpus["transcripts"], full_dir, cfg)
+    ra = build_index(p1, a_dir, cfg)
+    build_index(p2, b_dir, cfg, doc_base=ra["n_docs"])
+    rep = merge_indexes([a_dir, b_dir], m_dir)
+    assert rep["n_waves"] == 2
+
+    assert _postings_content(full_dir) == _postings_content(m_dir)
+
+    qf = SearchEngine(full_dir, num_shards=2)
+    qm = SearchEngine(m_dir, num_shards=2)
+    qt = pq.read_table(tiny_corpus["queries"])
+    queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+    try:
+        assert qf.search_batch(queries, k=10).to_pylist() == qm.search_batch(queries, k=10).to_pylist()
+        for _, qtext in queries[:15]:
+            assert qf.search(qtext, k=10, use_wand=True) == qm.search(qtext, k=10, use_wand=True)
+            assert qf.search(qtext, k=10, granularity="conv") == qm.search(qtext, k=10, granularity="conv")
+    finally:
+        qf.shutdown()
+        qm.shutdown()
