@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
         default="auto",
         help="reduce transport: auto (size-based, default), direct hash reduce, or Ray sort shuffle",
     )
+    b.add_argument(
+        "--doc-base", type=int, default=0,
+        help="global doc_id of this input's first turn (wave builds; see merge)",
+    )
+
+    mg = sub.add_parser("merge", help="merge committed wave indexes into one index")
+    mg.add_argument("--waves", nargs="+", required=True, help="wave index dirs (any order)")
+    mg.add_argument("--out", required=True)
 
     s = sub.add_parser("search", help="BM25 top-k against a built index")
     s.add_argument("--index", required=True)
@@ -79,8 +87,12 @@ def main(argv: list[str] | None = None) -> int:
                 salt_factor=args.salt_factor,
                 reduce_strategy=args.reduce,
             )
-            report = build_index(args.input, args.index, cfg)
+            report = build_index(args.input, args.index, cfg, doc_base=args.doc_base)
             print(json.dumps(report))
+        elif args.cmd == "merge":
+            from .pipelines.merge import merge_indexes
+
+            print(json.dumps(merge_indexes(args.waves, args.out)))
         elif args.cmd == "search":
             from .pipelines.search import SearchEngine
 
