@@ -331,6 +331,20 @@ def _q_multimodal_resize(sf_dir: str):
     return multimodal_resize(ds)
 
 
+def _q_multimodal_wav(sf_dir: str):
+    from pageindex_ray.pipelines.multimodal import multimodal_wav
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return multimodal_wav(ds).select_columns(["doc_id", "n_channels", "sample_rate", "n_frames"])
+
+
+def _q_multimodal_ppm(sf_dir: str):
+    from pageindex_ray.pipelines.multimodal import multimodal_ppm
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return multimodal_ppm(ds)
+
+
 def _q_q1(sf_dir: str):
     from pageindex_ray.pipelines.relational import q1_pricing
 
@@ -491,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_wav": _q_multimodal_wav,
+        "multimodal_ppm": _q_multimodal_ppm,
         "q1_pricing": _q_q1,
         "top_revenue_orders": _q_top_orders,
         "customer_rollup": _q_customer_rollup,
@@ -722,6 +738,30 @@ def oracle_sql() -> dict[str, str]:
                              i -> substr(text, CAST(floor(i * nb / 64.0) AS BIGINT) + 1, 1)), '')
                    END AS resized
             FROM p
+        """,
+        # real decoders (stdlib wave / hand-parsed P6): payloads synthesized
+        # from (doc_id, len(text)) so the decoder outputs have ANALYTIC
+        # ground truth the SQL can predict; the decoded sample/pixel arrays
+        # themselves are round-trip-checked in pytest
+        "multimodal_wav": """
+            SELECT doc_id,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(256 + (length(text) % 128) AS BIGINT) AS n_frames
+            FROM documents
+        """,
+        "multimodal_ppm": """
+            WITH d AS (
+              SELECT doc_id, 8 + (length(text) % 16) AS w, 8 + (doc_id % 8) AS h
+              FROM documents
+            ), px AS (
+              SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM d
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id + i) % 256 END) AS BIGINT) AS sum_r,
+                   CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id + i) % 256 END) AS BIGINT) AS sum_g,
+                   CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id + i) % 256 END) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id, w, h
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

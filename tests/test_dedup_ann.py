@@ -166,3 +166,38 @@ def test_corpus_curation_resumable_sink(ray_session, tmp_path):
     a = first.sort_values("doc_id").reset_index(drop=True)
     b = second.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_wav_ppm_decode_round_trip():
+    """The REAL decoders must reproduce the synthesized content exactly:
+    stdlib-wave decode returns the original int16 samples; the P6 parser
+    returns the original pixel plane."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    from pageindex_ray.pipelines.multimodal import (
+        WAV_SAMPLE_RATE,
+        synth_ppm_bytes,
+        synth_wav_bytes,
+    )
+
+    for doc_id, n_chars in ((0, 0), (7, 33), (123, 511)):
+        payload = synth_wav_bytes(doc_id, n_chars)
+        with wavmod.open(io.BytesIO(payload), "rb") as w:
+            assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, WAV_SAMPLE_RATE)
+            nf = w.getnframes()
+            decoded = np.frombuffer(w.readframes(nf), dtype="<i2")
+        assert nf == 256 + (n_chars % 128)
+        t = np.arange(nf, dtype=np.float64) / WAV_SAMPLE_RATE
+        expect = (np.sin(2.0 * np.pi * (100.0 + doc_id % 200) * t) * 16000.0).astype("<i2")
+        assert np.array_equal(decoded, expect)
+
+        ppm = synth_ppm_bytes(doc_id, n_chars)
+        w_, h_ = 8 + (n_chars % 16), 8 + (doc_id % 8)
+        header = f"P6\n{w_} {h_}\n255\n".encode()
+        assert ppm.startswith(header)
+        pix = np.frombuffer(ppm[len(header):], dtype=np.uint8)
+        idx = np.arange(w_ * h_ * 3, dtype=np.int64)
+        assert np.array_equal(pix, ((doc_id + idx) % 256).astype(np.uint8))

@@ -70,7 +70,7 @@ def _oracle_names():
     "docmap", "corpus_stats", "term_stats", "bm25_topk", "bm25_conv_topk",
     "role_stats", "doc_tokens", "doc_tokens_bpe", "doc_quality", "doc_langid", "doc_fingerprint",
     "dedup_exact", "dedup_jaccard", "ann_topk", "multimodal_meta",
-    "multimodal_frames", "multimodal_resize", "q1_pricing",
+    "multimodal_frames", "multimodal_resize", "multimodal_wav", "multimodal_ppm", "q1_pricing",
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",
     "conv_text_fingerprint", "conv_summaries", "conv_salient_summary", "event_type_mode",
     "events_tumbling", "parts_by_brand", "embedding_near_dup",
