@@ -222,6 +222,63 @@ def decode_consolidated(c: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ids, tfs, dls
 
 
+def consolidate_partition_table(table) -> dict[str, dict]:
+    """Whole-partition vectorized form of ``consolidate_blocks``: -> {term:
+    consolidated info}. The parquet layout stores each term's blocks
+    contiguously, so a term's three varint payloads are single zero-copy
+    SLICES of the partition's binary buffers and its firsts/counts/
+    max_factors are numpy views — no per-block Python dict is ever built
+    (to_pylist on a multi-million-posting partition was the shard-load
+    bottleneck)."""
+    import pyarrow as pa
+
+    terms = table.column("term").to_pylist()
+    dfs = table.column("df").to_numpy()
+    cfs = table.column("cf").to_numpy()
+    blocks = table.column("blocks")
+    if isinstance(blocks, pa.ChunkedArray):
+        blocks = blocks.combine_chunks()
+    # list offsets: term i owns struct rows [t_off[i], t_off[i+1])
+    t_off = blocks.offsets.to_numpy().astype(np.int64)
+    struct = blocks.values
+    firsts = struct.field("first_doc_id").to_numpy().astype(np.int64)
+    counts = struct.field("count").to_numpy().astype(np.int64)
+    maxf = struct.field("max_factor").to_numpy()
+
+    def _bin(field):
+        arr = struct.field(field)
+        # value-offsets buffer (int32), honoring any array-level offset;
+        # the offsets index the value buffer directly, so payload slices
+        # below are absolute
+        vo = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        buf = arr.buffers()[2]  # value buffer
+        return vo, buf
+
+    d_vo, d_buf = _bin("deltas")
+    t_vo, t_buf = _bin("tfs")
+    l_vo, l_buf = _bin("dls")
+
+    out: dict[str, dict] = {}
+    for i, term in enumerate(terms):
+        a, b = int(t_off[i]), int(t_off[i + 1])
+        out[term] = {
+            "firsts": firsts[a:b],
+            "counts": counts[a:b],
+            "max_factors": maxf[a:b],
+            "deltas": d_buf[d_vo[a] : d_vo[b]],
+            "tfs": t_buf[t_vo[a] : t_vo[b]],
+            "dls": l_buf[l_vo[a] : l_vo[b]],
+            "deltas_off": d_vo[a : b + 1] - d_vo[a],
+            "tfs_off": t_vo[a : b + 1] - t_vo[a],
+            "dls_off": l_vo[a : b + 1] - l_vo[a],
+            "df": int(dfs[i]),
+            "cf": int(cfs[i]),
+        }
+    return out
+
+
 def decode_consolidated_block(c: dict, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one block of the consolidated form (lazy WAND path)."""
     cnt = int(c["counts"][bi])

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import ray
 
-from ..stages.codec import consolidate_blocks, decode_consolidated
+from ..stages.codec import consolidate_partition_table, decode_consolidated
 
 
 @ray.remote
@@ -63,12 +63,13 @@ class PostingShard:
                 continue  # empty partition (no terms hashed to it; SearchEngine
                 # verified committed partitions against meta['parts_present'])
             table = pq.read_table(path)
-            for row in table.to_pylist():
-                info = consolidate_blocks(row["blocks"])
-                info["df"] = row["df"]  # partition-local (partial for salted terms)
-                info["cf"] = row["cf"]
-                info["part"] = pid
-                self.terms.setdefault(row["term"], []).append(info)
+            # vectorized whole-partition consolidation: per-term infos are
+            # zero-copy views/slices of the partition's arrow buffers (the
+            # previous per-row to_pylist built a Python dict per block and
+            # dominated engine warm-up on multi-million-posting partitions)
+            for term, info in consolidate_partition_table(table).items():
+                info["part"] = pid  # df/cf are partition-local (partial for salted terms)
+                self.terms.setdefault(term, []).append(info)
         # decoded (ids, factor) cache, bounded by element count
         self._scored: dict[str, list[dict]] = {}
         self._cache_elems = 0
