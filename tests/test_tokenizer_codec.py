@@ -117,3 +117,38 @@ def test_shingle_hash_order_sensitivity():
     assert a != b
     c = set(shingle_hashes("the quick brown fox jumps").tolist())
     assert a == c
+
+
+def test_partition_consolidation_matches_per_row():
+    """The vectorized zero-copy partition consolidation must decode to the
+    same postings as the per-row reference consolidation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pageindex_ray.stages.codec import (
+        consolidate_blocks,
+        consolidate_partition_table,
+        decode_consolidated,
+        encode_posting_blocks,
+    )
+    from pageindex_ray.stages.postings import POSTINGS_SCHEMA
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for t in ("alpha", "beta", "gamma"):
+        n = int(rng.integers(1, 400))
+        ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, n).astype(np.int64)
+        dls = rng.integers(5, 200, n).astype(np.int64)
+        blocks = encode_posting_blocks(ids, tfs, dls, 1.5, 0.75, 60.0, block_size=128)
+        rows.append({"term": t, "df": n, "cf": int(tfs.sum()), "blocks": blocks})
+    table = pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+
+    vec = consolidate_partition_table(table)
+    for row in table.to_pylist():
+        ref = consolidate_blocks(row["blocks"])
+        got = vec[row["term"]]
+        for a, b in zip(decode_consolidated(ref), decode_consolidated(got)):
+            assert np.array_equal(a, b), row["term"]
+        assert got["df"] == row["df"] and got["cf"] == row["cf"]
+        assert np.array_equal(got["max_factors"], ref["max_factors"])
