@@ -191,3 +191,53 @@ def test_wave_merge_matches_monolithic(ray_session, tiny_corpus, tmp_path):
     finally:
         qf.shutdown()
         qm.shutdown()
+
+
+def test_merge_is_associative_and_serves_distributed(ray_session, tiny_corpus, tmp_path):
+    """Merging a merged index with a further wave equals the monolithic
+    build (multi-level merge), and the distributed scorer pool serves a
+    merged index bit-identically to driver scoring."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.merge import merge_indexes
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    src = pq.read_table(tiny_corpus["transcripts"])
+    convs = sorted(set(src.column("conv_id").to_pylist()))
+    c1, c2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    parts = [
+        src.filter(pc.less(src.column("conv_id"), c1)),
+        src.filter(pc.and_(pc.greater_equal(src.column("conv_id"), c1), pc.less(src.column("conv_id"), c2))),
+        src.filter(pc.greater_equal(src.column("conv_id"), c2)),
+    ]
+    cfg = BuildConfig(num_partitions=4)
+    dirs, base = [], 0
+    for i, w in enumerate(parts):
+        p = str(tmp_path / f"w{i}.parquet")
+        pq.write_table(w, p)
+        d = str(tmp_path / f"i{i}")
+        r = build_index(p, d, cfg, doc_base=base)
+        base += r["n_docs"]
+        dirs.append(d)
+    m12 = str(tmp_path / "m12")
+    merge_indexes(dirs[:2], m12)
+    m123 = str(tmp_path / "m123")
+    merge_indexes([m12, dirs[2]], m123)  # multi-level
+    full = str(tmp_path / "mono")
+    build_index(tiny_corpus["transcripts"], full, cfg)
+    assert _postings_content(m123) == _postings_content(full)
+
+    qt = pq.read_table(tiny_corpus["queries"])
+    queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+    e_driver = SearchEngine(m123, num_shards=2)
+    e_dist = SearchEngine(m123, num_shards=2, num_scorers=3)
+    e_full = SearchEngine(full, num_shards=2)
+    try:
+        b1 = e_driver.search_batch(queries, k=10)
+        assert b1.equals(e_dist.search_batch(queries, k=10))
+        assert b1.equals(e_full.search_batch(queries, k=10))
+    finally:
+        e_driver.shutdown()
+        e_dist.shutdown()
+        e_full.shutdown()
