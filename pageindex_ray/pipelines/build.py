@@ -51,8 +51,6 @@ from ..stages.postings import (
     stats_fingerprint,
     total_tokens_from_packed,
 )
-from ..tokenizer import tokenize
-
 
 def _input_files(transcripts_path) -> list[str]:
     path = transcripts_path if isinstance(transcripts_path, str) else transcripts_path[0]
@@ -73,19 +71,40 @@ def count_input_rows(transcripts_path) -> int:
     return sum(_pq.ParquetFile(p).metadata.num_rows for p in _input_files(transcripts_path))
 
 
-def read_sample_table(transcripts_path, sample_rows: int, columns: list[str]):
-    """First ``sample_rows`` rows in file order (deterministic sample)."""
+def read_sample_table(transcripts_path, sample_rows: int, columns: list[str], max_groups: int = 16):
+    """Deterministic STRATIFIED sample: up to ``max_groups`` row groups
+    chosen by even stride across the global (file, row_group) list, reading
+    ``sample_rows / n_chosen`` head rows from each.
+
+    Round 2 sampled only the head of the first file — on a conv-SORTED
+    corpus those rows are a handful of conversations and the Zipf-head df
+    estimates (and the packed-bytes/turn estimate) were biased toward them.
+    Striding across every file's row groups samples the whole corpus while
+    still reading only ``max_groups`` row groups' worth of I/O, all decided
+    from parquet footers.
+    """
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    pf = _pq.ParquetFile(_input_files(transcripts_path)[0])
-    got, seen = [], 0
-    for rb in pf.iter_batches(batch_size=8192, columns=columns):
-        got.append(rb)
-        seen += rb.num_rows
-        if seen >= sample_rows:
-            break
-    return _pa.Table.from_batches(got, schema=got[0].schema if got else None).slice(0, sample_rows)
+    groups: list[tuple[str, int]] = []  # (path, row_group_idx) in corpus order
+    for p in _input_files(transcripts_path):
+        md = _pq.ParquetFile(p).metadata
+        groups.extend((p, g) for g in range(md.num_row_groups))
+    if not groups:
+        return _pa.table({c: _pa.array([], type=_pa.string()) for c in columns})
+    n_chosen = min(max_groups, len(groups))
+    stride_pos = (np.arange(n_chosen) * len(groups)) // n_chosen
+    chosen = [groups[i] for i in stride_pos]
+    per_group = -(-sample_rows // n_chosen)  # ceil
+    got = []
+    by_file: dict[str, list[int]] = {}
+    for p, g in chosen:
+        by_file.setdefault(p, []).append(g)
+    for p, gs in by_file.items():
+        pf = _pq.ParquetFile(p)
+        for g in gs:
+            got.append(pf.read_row_group(g, columns=columns).slice(0, per_group))
+    return _pa.concat_tables(got).slice(0, sample_rows)
 
 
 def estimate_packed_bytes_per_turn(transcripts_path, cfg: BuildConfig, sample_rows: int = 20_000) -> float:
@@ -192,27 +211,27 @@ def estimate_hot_terms(transcripts_path, cfg: BuildConfig, sample_rows: int = 20
     """
     if cfg.salt_factor <= 1:
         return []
-    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
 
-    path = transcripts_path if isinstance(transcripts_path, str) else transcripts_path[0]
-    if os.path.isdir(path):
-        path = os.path.join(path, sorted(os.listdir(path))[0])
-    pf = _pq.ParquetFile(path)
-    got = []
-    seen = 0
-    for rb in pf.iter_batches(batch_size=8192, columns=["text"]):
-        got.append(rb)
-        seen += rb.num_rows
-        if seen >= sample_rows:
-            break
-    texts = [t for rb in got for t in rb.column(0).to_pylist()]
-    df_counts: dict[str, int] = {}
-    for t in texts[:sample_rows]:
-        for term in set(tokenize(t)):
-            df_counts[term] = df_counts.get(term, 0) + 1
-    n = min(len(texts), sample_rows)
+    sample = read_sample_table(transcripts_path, sample_rows, ["text"])
+    n = sample.num_rows
+    if n == 0:
+        return []
+    # vectorized df count, token-identical to tokenizer.tokenize: split the
+    # lowered text on non-token runs (empties filtered), one distinct-terms
+    # pass per row via (row, term) dedup
+    toks = _pc.split_pattern_regex(
+        _pc.fill_null(_pc.utf8_lower(sample.column("text").combine_chunks()), ""),
+        "[^a-z0-9]+",
+    )
+    flat = _pc.list_flatten(toks)
+    pairs = _pa.table({"row": _pc.list_parent_indices(toks), "term": flat}).filter(
+        _pc.not_equal(flat, "")
+    )
+    counts = pairs.to_pandas().drop_duplicates()["term"].value_counts()
     threshold = cfg.hot_df_ratio * 0.7 * n
-    return sorted(t for t, c in df_counts.items() if c >= threshold)
+    return sorted(counts.index[counts.to_numpy() >= threshold].tolist())
 
 
 def build_index(

@@ -34,7 +34,11 @@ import ray.data
 TOKEN_PATTERN = "[a-z0-9]+"  # must stay in sync with tokenizer.TOKEN_RE
 
 
-def compute_conv_offsets(ds: "ray.data.Dataset", with_tokens: bool = True) -> dict[str, np.ndarray]:
+def compute_conv_offsets(
+    ds: "ray.data.Dataset",
+    with_tokens: bool = True,
+    driver_merge_max_rows: int = 2_000_000,
+) -> dict[str, np.ndarray]:
     """Per-conversation (count, min, max of turn_idx) -> validated dense-turn
     contract + exclusive prefix-sum base offsets.
 
@@ -43,27 +47,25 @@ def compute_conv_offsets(ds: "ray.data.Dataset", with_tokens: bool = True) -> di
     instead recovers total_tokens from the packed docmap runs, skipping a
     full tokenize pass here).
 
-    Shape: per-batch combine (bounded partials, never ships `text` rows) ->
-    RANGE-bucketed parallel merge (sample-sort: boundaries from a sampled
-    block, so bucket outputs are globally ordered and the driver only
-    concatenates and prefix-sums — no driver-side groupby or sort of the
-    conversation set). At any scale the driver work is O(#convs) memory for
-    the final offsets table, which is also what the broadcast to emitters
-    requires; beyond that the offsets table itself would become a dataset
-    and doc_id assignment a broadcast-join per conv range.
+    Shape: ONE streaming pass does the per-batch combine (bounded partials —
+    at most #distinct-convs rows per 128k-turn batch, never ships `text`
+    rows). The merge of those partials is size-adaptive:
+
+    * <= ``driver_merge_max_rows`` partial rows (the common case — e.g.
+      10M convs touched across batches): one driver-side groupby+sort. A
+      single fixed cost, no extra Dataset execution; the driver must hold
+      O(#convs) for the final broadcast table anyway.
+    * above: hash-bucket the partial rows and ``groupby("bucket")`` so each
+      merge task receives ONLY its own rows (a tiny shuffle of the partial
+      aggregates — round-2's version instead shipped every partial table to
+      every bucket task, a 32x read amplification and ~2.4s of fixed
+      overhead at sf0.1). Bucket outputs are internally conv-sorted; the
+      driver concatenates in bucket-boundary order.
+
+    Beyond driver memory for the offsets table itself, the table would
+    become a dataset and doc_id assignment a broadcast-join per conv range.
     """
     import pandas as pd
-
-    N_BUCKETS = 32
-
-    # --- boundaries from one sampled block (deterministic: first block) ----
-    head = ds.select_columns(["conv_id"]).limit(65536).to_pandas()
-    sample_ids = np.sort(head["conv_id"].to_numpy(dtype=object))
-    if len(sample_ids):
-        qpos = (np.arange(1, N_BUCKETS) * len(sample_ids)) // N_BUCKETS
-        boundaries = sample_ids[qpos]
-    else:
-        boundaries = np.empty(0, dtype=object)
 
     agg_spec = {
         "n_turns": ("turn_idx", "size"),
@@ -86,45 +88,62 @@ def compute_conv_offsets(ds: "ray.data.Dataset", with_tokens: bool = True) -> di
             ).cast(pa.int64())
         df = pa.table(cols).to_pandas()
         g = df.groupby("conv_id", sort=False).agg(**agg_spec).reset_index()
-        g["bucket"] = np.searchsorted(
-            boundaries, g["conv_id"].to_numpy(dtype=object), side="right"
-        ).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     src_ds = ds if with_tokens else ds.select_columns(["conv_id", "turn_idx"])
     partials = src_ds.map_batches(
         partial, batch_format="pyarrow", batch_size=131072
     ).materialize()
-    refs = partials.to_arrow_refs()
 
-    def merge_bucket(batch: pa.Table) -> pa.Table:
-        tables = [ray.get(r) for r in refs]
-        outs = []
-        for b in batch.column("bucket").to_pylist():
-            rows = [t.filter(pc.equal(t.column("bucket"), b)) for t in tables if t.num_rows]
-            rows = [r for r in rows if r.num_rows]
-            if not rows:
-                continue
-            df = pa.concat_tables(rows).to_pandas()
+    if partials.count() <= driver_merge_max_rows:
+        # single fixed-cost merge: partial rows are already aggregates
+        tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if tables:
+            df = pa.concat_tables(tables).to_pandas()
+            agg = (
+                df.groupby("conv_id", sort=False)
+                .agg(**merge_spec)
+                .reset_index()
+                .sort_values("conv_id", kind="stable")
+                .reset_index(drop=True)
+            )
+        else:
+            agg = pd.DataFrame({c: [] for c in ["conv_id", *merge_spec]})
+    else:
+        N_BUCKETS = 256
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            # deterministic hash bucket (not range): no boundary-sampling
+            # pre-pass needed, and crc32 (NOT builtin hash, which is
+            # per-process randomized) keeps a conv's rows in one bucket
+            # across workers; global order is restored by a driver sort of
+            # the already-merged conv rows
+            import zlib
+
+            h = np.fromiter(
+                (zlib.crc32(c.encode("utf-8")) for c in batch.column("conv_id").to_pylist()),
+                dtype=np.int64,
+                count=batch.num_rows,
+            )
+            return batch.append_column("bucket", pa.array(h % N_BUCKETS, type=pa.int64()))
+
+        def merge_bucket(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
             g = df.groupby("conv_id", sort=False).agg(**merge_spec).reset_index()
-            g = g.sort_values("conv_id", kind="stable")
-            g["bucket"] = b
-            outs.append(g)
-        if not outs:
-            return pa.table({c: [] for c in ["conv_id", *merge_spec, "bucket"]})
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+            return pa.Table.from_pandas(
+                g.sort_values("conv_id", kind="stable"), preserve_index=False
+            )
 
-    import ray.data as _rd
-
-    merged = (
-        _rd.from_items([{"bucket": b} for b in range(N_BUCKETS)])
-        .map_batches(merge_bucket, batch_format="pyarrow", batch_size=1)
-        .to_pandas()
-    )
-    del refs, partials
-    # bucket outputs are internally sorted and bucket ranges are ordered ->
-    # a bucket-ordered concat is globally conv_id-sorted
-    agg = merged.sort_values("bucket", kind="stable").reset_index(drop=True)
+        merged = (
+            partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+        # hash buckets are unordered across buckets: one driver sort of the
+        # already-aggregated conv rows restores the global conv_id order
+        agg = merged.sort_values("conv_id", kind="stable").reset_index(drop=True)
+    del partials
 
     bad = agg[(agg["min_turn"] != 0) | (agg["max_turn"] != agg["n_turns"] - 1)]
     if len(bad):
