@@ -248,7 +248,9 @@ def _q_dedup_simhash(sf_dir: str):
 
     ensure_sidecars(sf_dir)
     ds = read_parquet_clean(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return simhash_candidates(ds, max_hamming=sc.SIMHASH_MAX_HAMMING)
+    return simhash_candidates(
+        ds, max_hamming=sc.SIMHASH_MAX_HAMMING, max_bucket=sc.SIMHASH_MAX_BUCKET
+    )
 
 
 def _embedding_queries(sf_dir: str, n: int = 5):
@@ -937,11 +939,29 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY node
         """,
         "dedup_simhash": f"""
-            WITH s AS (SELECT * FROM read_parquet('{_SIDE["simhash"]}'))
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= {sc.SIMHASH_MAX_HAMMING}
+            WITH s AS (SELECT * FROM read_parquet('{_SIDE["simhash"]}')),
+            bands AS (
+              -- the engine's 4 disjoint 16-bit band buckets; masking AFTER
+              -- the shift makes arithmetic sign-fill irrelevant
+              SELECT doc_id, simhash, t.band_id,
+                     ((simhash >> (16 * t.band_id)) & 65535) AS band_key
+              FROM s, (SELECT unnest(range(4)) AS band_id) t
+            ),
+            sizes AS (SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY band_id, band_key),
+            cand AS (
+              -- per-band skew guard, identical to simhash_candidates' max_bucket
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a
+              JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+              JOIN sizes sz ON sz.band_id = a.band_id AND sz.band_key = a.band_key
+              WHERE sz.n BETWEEN 2 AND {sc.SIMHASH_MAX_BUCKET}
+            )
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.doc_a
+            JOIN s sb ON sb.doc_id = c.doc_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {sc.SIMHASH_MAX_HAMMING}
         """,
         "ann_ivf": f"""
             WITH a AS (SELECT * FROM read_parquet('{_SIDE["ivf_assign"]}')),

@@ -39,6 +39,7 @@ MINHASH_MAX_BUCKET = 1000
 MINHASH_THRESHOLD = 0.8
 
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_BUCKET = 2000  # engine's per-band skew guard, modeled in the SQL twin
 
 HYPER_N_PLANES = 8
 HYPER_N_BANDS = 4

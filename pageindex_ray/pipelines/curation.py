@@ -78,6 +78,15 @@ def curate_corpus(
     the kept (doc_id, n_tokens) dataset read back from the sink."""
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
+        import shutil
+
+        # Crash-safe commit: write into a tmp dir and rename it into place
+        # with the marker already inside. Round 2 wrote part files directly
+        # into out_dir and added the marker afterwards — a crash in between
+        # left orphan files that a rerun DUPLICATED under new filenames.
+        tmp_dir = out_dir.rstrip("/") + ".tmp"
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
         ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
         dropped_ref = ray.put(exact_dup_losers(ds))
 
@@ -110,9 +119,12 @@ def curate_corpus(
                 )
 
         kept = ds.map_batches(Curate, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8))
-        kept.write_parquet(out_dir, partition_cols=["part"])
-        with open(marker, "w") as f:
+        kept.write_parquet(tmp_dir, partition_cols=["part"])
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
             f.write("ok\n")
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)  # orphaned partial sink from a crashed run
+        os.replace(tmp_dir, out_dir)
     # hive-partitioned readback (part=*/ dirs); prune to the two data columns
     out = ray.data.read_parquet(out_dir, columns=["doc_id", "n_tokens"])
     return out.select_columns(["doc_id", "n_tokens"])

@@ -213,7 +213,10 @@ def events_sessions(sf_dir: str, gap_seconds: int = 1800, n_buckets: int = 256) 
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy().astype(np.int64)
-        ts_ns = batch.column("ts").cast(pa.int64()).to_numpy() * 1000  # us -> ns
+        # normalize ANY timestamp unit via an Arrow cast to ns (round 2
+        # assumed timestamp[us] and multiplied by 1000 — silently 1000x off
+        # for ms- or ns-unit inputs)
+        ts_ns = batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()).to_numpy()
         return pa.table(
             {
                 "user_id": pa.array(uid, type=pa.int64()),
@@ -271,7 +274,7 @@ def events_tumbling(sf_dir: str) -> pa.Table:
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        ts_us = batch.column("ts").cast(pa.int64())
+        ts_us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())  # unit-safe
         hour = pc.floor(pc.divide(ts_us.cast(pa.float64()), pa.scalar(3_600_000_000.0))).cast(pa.int64())
         return pa.table(
             {

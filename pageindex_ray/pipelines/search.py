@@ -393,6 +393,38 @@ class SearchEngine:
         d, s = self._exhaustive(arrays)
         return topk_from_scores(d, s, k)
 
+    def _grouped_topk(self, terms: list[str], k: int, granularity: str, segment_span: int):
+        """Driver-path conv/segment rollup -> the same partial tuple shapes
+        the distributed scorers return: (names, scores) for "conv",
+        (names, seg_starts, scores) for "segment", or None when no term
+        matched. WAND cannot serve rollups (pruning skips docs whose group
+        sums still need them), so grouped scoring is always exhaustive."""
+        arrays = self._term_arrays(terms)
+        if not arrays:
+            return None
+        docs, scores = self._exhaustive(arrays)
+        conv_idx = np.searchsorted(self.conv_bases, docs, side="right") - 1
+        if granularity == "segment":
+            turn = docs - self.conv_bases[conv_idx]
+            seg_start = (turn // segment_span) * segment_span
+            # docs ascending => (conv, seg) keys ascending => reduceat
+            # accumulates each segment's turns in doc order (== oracle).
+            # composite fits int64 while #convs < 2^31 (64M-doc regime).
+            key = conv_idx.astype(np.int64) * (1 << 32) + seg_start
+            uniq, starts = np.unique(key, return_index=True)
+            seg_scores = np.add.reduceat(scores, starts)
+            u_conv = (uniq >> 32).astype(np.int64)
+            u_seg = (uniq & ((1 << 32) - 1)).astype(np.int64)
+            names = self.conv_ids[u_conv]
+            order = np.lexsort((u_seg, names, -seg_scores))[:k]
+            return names[order], u_seg[order], seg_scores[order]
+        # docs ascending => per-conv accumulation in doc order (== oracle)
+        uniq, starts = np.unique(conv_idx, return_index=True)
+        conv_scores = np.add.reduceat(scores, starts)
+        names = self.conv_ids[uniq]
+        order = np.lexsort((names, -conv_scores))[:k]
+        return names[order], conv_scores[order]
+
     # ------------------------------------------------------------------- API
 
     def search(
@@ -442,41 +474,24 @@ class SearchEngine:
                 for r in range(len(docs))
             ]
         if granularity in ("conv", "segment"):
-            arrays = self._term_arrays(terms)
-            if not arrays:
+            res = self._grouped_topk(terms, k, granularity, segment_span)
+            if res is None:
                 return []
-            docs, scores = self._exhaustive(arrays)
-            conv_idx = np.searchsorted(self.conv_bases, docs, side="right") - 1
             if granularity == "segment":
-                turn = docs - self.conv_bases[conv_idx]
-                seg_start = (turn // segment_span) * segment_span
-                # docs ascending => (conv, seg) keys ascending => reduceat
-                # accumulates each segment's turns in doc order (== oracle).
-                # composite fits int64 while #convs < 2^31 (64M-doc regime).
-                key = conv_idx.astype(np.int64) * (1 << 32) + seg_start
-                uniq, starts = np.unique(key, return_index=True)
-                seg_scores = np.add.reduceat(scores, starts)
-                u_conv = (uniq >> 32).astype(np.int64)
-                u_seg = (uniq & ((1 << 32) - 1)).astype(np.int64)
-                names = self.conv_ids[u_conv]
-                order = np.lexsort((u_seg, names, -seg_scores))[:k]
+                names, segs, scores = res
                 return [
                     {
                         "rank": r,
-                        "conv_id": str(names[i]),
-                        "seg_start": int(u_seg[i]),
-                        "score": float(seg_scores[i]),
+                        "conv_id": str(names[r]),
+                        "seg_start": int(segs[r]),
+                        "score": float(scores[r]),
                     }
-                    for r, i in enumerate(order)
+                    for r in range(len(names))
                 ]
-            # docs ascending => per-conv accumulation in doc order (== oracle)
-            uniq, starts = np.unique(conv_idx, return_index=True)
-            conv_scores = np.add.reduceat(scores, starts)
-            names = self.conv_ids[uniq]
-            order = np.lexsort((names, -conv_scores))[:k]
+            names, scores = res
             return [
-                {"rank": r, "conv_id": str(names[i]), "score": float(conv_scores[i])}
-                for r, i in enumerate(order)
+                {"rank": r, "conv_id": str(names[r]), "score": float(scores[r])}
+                for r in range(len(names))
             ]
         res = self._topk_turn(terms, k, use_wand)
         if res is None:
@@ -496,47 +511,76 @@ class SearchEngine:
 
     def search_batch(
         self, queries: list[tuple[int, str]], k: int = 10, granularity: str = "turn",
-        use_wand: bool = False,
+        use_wand: bool = False, segment_span: int = 4,
     ) -> pa.Table:
         """Score a query set; one shard round-trip for ALL queries' terms
         (driver path), or one scorer-pool fan-out for the WHOLE batch
-        (distributed path)."""
-        rows = {"query_id": [], "rank": [], "doc_id": [], "score": [], "conv_id": [], "turn_idx": []}
-        if self.scorers and not use_wand and granularity == "turn":
-            per_query = [(qid, sorted(set(tokenize(q)))) for qid, q in queries]
-            results = self._score_batch_distributed(per_query, k, "turn")
+        (distributed path). Every granularity is honored on every path
+        (round 2 silently returned turn rows for conv/segment when the
+        distributed branch didn't engage). ``use_wand`` forces driver-side
+        document-at-a-time scoring at turn granularity and is ignored for
+        rollups (pruning skips docs whose group sums still need them) —
+        identical to ``search``'s dispatch.
+
+        Output schema by granularity:
+          turn:    query_id, rank, doc_id, score, conv_id, turn_idx
+          conv:    query_id, rank, conv_id, score
+          segment: query_id, rank, conv_id, seg_start, score
+        """
+        if granularity not in ("turn", "conv", "segment"):
+            raise ValueError(f"unknown granularity {granularity!r}")
+        per_query = [(qid, sorted(set(tokenize(q)))) for qid, q in queries]
+        if self.scorers and not use_wand:
+            results = self._score_batch_distributed(per_query, k, granularity, segment_span)
         else:
-            all_terms = sorted({t for _, q in queries for t in tokenize(q)})
-            if not use_wand:
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            if not (use_wand and granularity == "turn"):
                 self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
             results = None
-        for i, (qid, qtext) in enumerate(queries):
+        qids: list[int] = []
+        ranks: list[int] = []
+        parts: dict[str, list] = defaultdict(list)
+        for i, (qid, terms) in enumerate(per_query):
             if results is not None:
                 res = results[i]
-            else:
-                terms = sorted(set(tokenize(qtext)))
+            elif granularity == "turn":
                 res = self._topk_turn(terms, k, use_wand)
+            else:
+                res = self._grouped_topk(terms, k, granularity, segment_span)
             if res is None:
                 continue
-            docs, scores = res
-            convs, turns = self.doc_location(docs)
-            n = len(docs)
-            rows["query_id"].extend([qid] * n)
-            rows["rank"].extend(range(n))
-            rows["doc_id"].extend(docs.tolist())
-            rows["score"].extend(scores.tolist())
-            rows["conv_id"].extend(convs.tolist())
-            rows["turn_idx"].extend(turns.tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                "rank": pa.array(rows["rank"], type=pa.int32()),
-                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-                "score": pa.array(rows["score"], type=pa.float64()),
-                "conv_id": pa.array(rows["conv_id"], type=pa.string()),
-                "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
-            }
-        )
+            if granularity == "turn":
+                docs, scores = res
+                convs, turns = self.doc_location(docs)
+                n = len(docs)
+                parts["doc_id"].extend(docs.tolist())
+                parts["conv_id"].extend(convs.tolist())
+                parts["turn_idx"].extend(turns.tolist())
+            elif granularity == "conv":
+                names, scores = res
+                n = len(names)
+                parts["conv_id"].extend(str(x) for x in names)
+            else:
+                names, segs, scores = res
+                n = len(names)
+                parts["conv_id"].extend(str(x) for x in names)
+                parts["seg_start"].extend(segs.tolist())
+            parts["score"].extend(scores.tolist())
+            qids.extend([qid] * n)
+            ranks.extend(range(n))
+        cols = {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int32()),
+        }
+        if granularity == "turn":
+            cols["doc_id"] = pa.array(parts["doc_id"], type=pa.int64())
+        cols["score"] = pa.array(parts["score"], type=pa.float64())
+        cols["conv_id"] = pa.array(parts["conv_id"], type=pa.string())
+        if granularity == "turn":
+            cols["turn_idx"] = pa.array(parts["turn_idx"], type=pa.int32())
+        elif granularity == "segment":
+            cols["seg_start"] = pa.array(parts["seg_start"], type=pa.int64())
+        return pa.table(cols)
 
     def doc_location(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         idx = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1

@@ -212,7 +212,11 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
         if ci == cj:
             continue
         lo = int(conv_bases[ci])
-        hi = int(conv_bases[cj]) if cj < n_convs else int(n_docs)
+        # conv_bases hold ABSOLUTE doc ids (a wave index starts at doc_base,
+        # not 0): the last range ends at first_base + n_docs, not n_docs —
+        # using the bare count either made the last range negative (crash at
+        # actor init) or silently excluded every doc with id >= n_docs.
+        hi = int(conv_bases[cj]) if cj < n_convs else int(conv_bases[0]) + int(n_docs)
         scorers.append(
             RangeScorer.remote(
                 shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object),

@@ -1,0 +1,88 @@
+"""Regression tests for the round-2 advisor findings: curation sink
+crash-safety, timestamp-unit independence, and empty-document dedup edges."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_curation_sink_crash_safe(ray_session, tmp_path):
+    """A run that died after writing part files but before the marker must
+    NOT duplicate rows on rerun (round 2 wrote into out_dir directly and a
+    rerun re-emitted every row under new filenames)."""
+    from pageindex_ray.pipelines.curation import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    clean = curate_corpus(sf, out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # simulate the crash: committed output exists but the marker is gone
+    os.unlink(os.path.join(out, "_SUCCESS"))
+    rerun = curate_corpus(sf, out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(rerun) == len(clean)
+    assert rerun["doc_id"].is_unique
+    assert rerun.equals(clean)
+
+    # and a half-written orphan dir (no marker, partial files) is replaced
+    shutil.rmtree(out)
+    os.makedirs(os.path.join(out, "part=0"))
+    with open(os.path.join(out, "part=0", "orphan.parquet"), "w") as f:
+        f.write("garbage")
+    again = curate_corpus(sf, out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert again.equals(clean)
+
+
+def test_events_sessions_unit_independent(ray_session, tmp_path):
+    """events_sessions must compute identical gaps for us/ms/ns parquet
+    timestamp units (round 2 hard-coded the us->ns multiply)."""
+    from pageindex_ray.pipelines.relational import events_sessions
+
+    import pyarrow.compute as pc
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    ts_idx = src.column_names.index("ts")
+
+    def _sessions_for(ts_col, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(src.set_column(ts_idx, "ts", ts_col), str(d / "events.parquet"))
+        return events_sessions(str(d)).to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    base = events_sessions("/root/testdata/sf0.001").to_pandas().sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    # ns cast is lossless: must equal the us baseline exactly
+    assert _sessions_for(src.column("ts").cast(pa.timestamp("ns")), "sf_ns").equals(base)
+    # ms requires truncation; compare against a ms-truncated us input
+    us = src.column("ts").cast(pa.int64())
+    trunc_us = pc.multiply(pc.divide(us, 1000), 1000).cast(pa.timestamp("us"))
+    ms = pc.divide(us, 1000).cast(pa.timestamp("ms"))
+    assert _sessions_for(ms, "sf_ms").equals(_sessions_for(trunc_us, "sf_us_trunc"))
+
+
+def test_minhash_empty_docs_cluster_together(ray_session):
+    """Two token-less docs have identical all-max signatures -> LSH
+    candidates; the verify step must treat jaccard(empty, empty) as 1.0 (the
+    SQL twin's len=0 AND len=0 clause), so they cluster together."""
+    import ray.data
+
+    from pageindex_ray.functions.hashes import jaccard
+    from pageindex_ray.pipelines.dedup import minhash_dedup
+
+    assert jaccard("", "") == 1.0
+    assert jaccard("...", "!!") == 1.0  # punctuation-only -> no tokens
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["", "?!", "alpha beta gamma delta", "zz yy xx ww"], type=pa.string()),
+        }
+    )
+    out = minhash_dedup(ray.data.from_arrow(table)).to_pandas().set_index("doc_id")
+    assert out.loc[2, "canonical_id"] == 1  # empty docs collapse to min id
+    assert out.loc[1, "canonical_id"] == 1
+    assert out.loc[3, "canonical_id"] == 3
+    assert out.loc[4, "canonical_id"] == 4

@@ -146,12 +146,51 @@ def test_distributed_scoring_matches_driver(ray_session, built_index):
                 assert e1.search(qtext, k=10, granularity=gran) == e2.search(
                     qtext, k=10, granularity=gran
                 ), (qtext, gran)
-        b1 = e1.search_batch(queries, k=10)
-        b2 = e2.search_batch(queries, k=10)
-        assert b1.equals(b2)
+        for gran in ("turn", "conv", "segment"):
+            b1 = e1.search_batch(queries, k=10, granularity=gran)
+            b2 = e2.search_batch(queries, k=10, granularity=gran)
+            assert b1.equals(b2), gran
+        # use_wand forces driver-side document-at-a-time scoring even when a
+        # scorer pool exists (fenced, not silently different) — results must
+        # equal the exhaustive paths
+        bw = e2.search_batch(queries, k=10, use_wand=True)
+        assert bw.equals(e1.search_batch(queries, k=10))
+        import pytest
+
+        with pytest.raises(ValueError, match="granularity"):
+            e1.search_batch(queries, k=10, granularity="paragraph")
     finally:
         e1.shutdown()
         e2.shutdown()
+
+
+def test_search_batch_granularity_matches_per_query(ray_session, built_index):
+    """search_batch must honor conv/segment granularity on BOTH paths
+    (scorers present and absent) — round 2's fallback silently returned
+    turn rows. Batch rows must equal the per-query search() results."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    queries = _queries(built_index)[:12]
+    for scorers in (0, 3):
+        eng = SearchEngine(built_index["index_dir"], num_shards=2, num_scorers=scorers)
+        try:
+            for gran in ("conv", "segment"):
+                tbl = eng.search_batch(queries, k=5, granularity=gran)
+                assert "doc_id" not in tbl.column_names
+                rows_by_qid = {}
+                for row in tbl.to_pylist():
+                    rows_by_qid.setdefault(row["query_id"], []).append(row)
+                for qid, qtext in queries:
+                    want = eng.search(qtext, k=5, granularity=gran)
+                    got = rows_by_qid.get(qid, [])
+                    assert len(got) == len(want), (qid, gran, scorers)
+                    for g, w in zip(got, want):
+                        assert g["conv_id"] == w["conv_id"]
+                        assert abs(g["score"] - w["score"]) < 1e-12
+                        if gran == "segment":
+                            assert g["seg_start"] == w["seg_start"]
+        finally:
+            eng.shutdown()
 
 
 def test_segment_rollup_matches_oracle(engine, built_index, oracle_index):

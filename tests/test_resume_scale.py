@@ -241,3 +241,46 @@ def test_merge_is_associative_and_serves_distributed(ray_session, tiny_corpus, t
         e_driver.shutdown()
         e_dist.shutdown()
         e_full.shutdown()
+
+
+def test_wave_index_doc_base_distributed_scoring(ray_session, tiny_corpus, tmp_path):
+    """Serving a WAVE index (doc_base > 0) with a scorer pool must match
+    driver scoring — round 2 sized the last range with the bare doc COUNT,
+    which for doc_base > 0 either crashed at actor init or silently dropped
+    every doc with id >= n_docs from distributed results."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    src = pq.read_table(tiny_corpus["transcripts"])
+    convs = sorted(set(src.column("conv_id").to_pylist()))
+    mid = convs[len(convs) // 2]
+    w2 = src.filter(pc.greater_equal(src.column("conv_id"), mid))
+    p2 = str(tmp_path / "wave2.parquet")
+    pq.write_table(w2, p2)
+    wave_dir = str(tmp_path / "wave2_idx")
+    # nonzero base, deliberately LARGER than this wave's n_docs so the
+    # round-2 hi = n_docs bug would produce negative ranges (crash)
+    base = src.num_rows + 500
+    build_index(p2, wave_dir, BuildConfig(num_partitions=4), doc_base=base)
+
+    e_driver = SearchEngine(wave_dir, num_shards=2)
+    e_dist = SearchEngine(wave_dir, num_shards=2, num_scorers=3)
+    try:
+        qt = pq.read_table(tiny_corpus["queries"])
+        queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+        nonempty = 0
+        for _, qtext in queries:
+            for gran in ("turn", "conv", "segment"):
+                want = e_driver.search(qtext, k=10, granularity=gran)
+                assert e_dist.search(qtext, k=10, granularity=gran) == want, (qtext, gran)
+                nonempty += bool(want)
+        assert nonempty > 0  # the wave actually matches queries
+        assert e_driver.search_batch(queries, k=10).equals(e_dist.search_batch(queries, k=10))
+        # every returned doc_id must carry the base offset
+        docs = e_dist.search_batch(queries, k=10).column("doc_id").to_pylist()
+        assert docs and min(docs) >= base
+    finally:
+        e_driver.shutdown()
+        e_dist.shutdown()
