@@ -105,45 +105,103 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
 
     all_parts = sorted(set().union(*(set(m.get("parts_present", [])) for m in metas)))
 
+    def _rebased_blocks(table: pa.Table) -> tuple[pa.ListArray, int]:
+        """One wave-partition's ``blocks`` column with every block's
+        max_factor recomputed under the MERGED avgdl — fully vectorized:
+        the whole partition's tf and dl varint streams are decoded as two
+        single passes over zero-copy buffer slices, factors are computed in
+        one numpy expression, and per-block maxima come from one
+        ``maximum.reduceat``. (Round 2 did this via to_pylist + a Python
+        loop over every block — the exact pattern
+        consolidate_partition_table, stages/codec.py:225-279, was built to
+        eliminate on the query side.) Returns (new blocks column, total
+        postings)."""
+        blocks = table.column("blocks")
+        if isinstance(blocks, pa.ChunkedArray):
+            blocks = blocks.combine_chunks()
+        if blocks.offset != 0:  # defensive: compact a sliced array
+            blocks = blocks.take(np.arange(len(blocks)))
+        struct = blocks.values
+        counts = struct.field("count").to_numpy().astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return blocks, 0
+
+        def _payload(field: str) -> bytes:
+            arr = struct.field(field)
+            vo = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            return arr.buffers()[2][vo[0] : vo[-1]]
+
+        tf = varint_decode(_payload("tfs"), total).astype(np.float64)
+        dl = varint_decode(_payload("dls"), total).astype(np.float64)
+        factors = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        maxf = np.maximum.reduceat(factors, starts)
+        new_struct = pa.StructArray.from_arrays(
+            [
+                struct.field("first_doc_id"),
+                struct.field("count"),
+                pa.array(maxf, type=pa.float64()),
+                struct.field("deltas"),
+                struct.field("tfs"),
+                struct.field("dls"),
+            ],
+            names=["first_doc_id", "count", "max_factor", "deltas", "tfs", "dls"],
+        )
+        return pa.ListArray.from_arrays(blocks.offsets, new_struct), total
+
     def merge_part(batch: pa.Table) -> pa.Table:
         out_rows = []
         for pid in batch.column("part").to_pylist():
-            per_term: dict[str, dict] = {}
-            term_order: list[str] = []
+            waves = []
             for d in dirs:
                 path = os.path.join(d, "postings", f"part-{pid:05d}.parquet")
-                if not os.path.exists(path):
-                    continue
-                for row in pq.read_table(path).to_pylist():
-                    acc = per_term.get(row["term"])
-                    if acc is None:
-                        per_term[row["term"]] = {
-                            "df": row["df"],
-                            "cf": row["cf"],
-                            "blocks": list(row["blocks"]),
-                        }
-                        term_order.append(row["term"])
-                    else:
-                        acc["df"] += row["df"]
-                        acc["cf"] += row["cf"]
-                        acc["blocks"].extend(row["blocks"])  # waves are doc-ordered
-            n_terms = 0
+                if os.path.exists(path):
+                    t = pq.read_table(path)
+                    if t.num_rows:
+                        waves.append(t)
             n_postings = 0
-            rows = []
-            for term in sorted(term_order):
-                acc = per_term[term]
-                for blk in acc["blocks"]:
-                    c = blk["count"]
-                    tf = varint_decode(blk["tfs"], c).astype(np.float64)
-                    dl = varint_decode(blk["dls"], c).astype(np.float64)
-                    factors = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                    blk["max_factor"] = float(factors.max())
-                    n_postings += c
-                rows.append(
-                    {"term": term, "df": acc["df"], "cf": acc["cf"], "blocks": acc["blocks"]}
+            if not waves:
+                table = POSTINGS_SCHEMA.empty_table()
+                n_terms = 0
+            else:
+                rebased = []
+                for t in waves:
+                    col, tot = _rebased_blocks(t)
+                    n_postings += tot
+                    rebased.append(t.set_column(t.column_names.index("blocks"), "blocks", col))
+                # stable (term, wave) sort: same-term rows become adjacent
+                # with blocks in wave (== global doc) order, so a term's
+                # merged list is a pure offset regrouping of the taken column
+                combined = pa.concat_tables(rebased)
+                terms_np = np.asarray(combined.column("term").to_pylist(), dtype=object)
+                order = np.argsort(terms_np, kind="stable")  # concat order == wave order
+                combined = combined.take(pa.array(order))
+                terms_sorted = terms_np[order]
+                n = len(terms_sorted)
+                is_head = np.ones(n, dtype=bool)
+                is_head[1:] = terms_sorted[1:] != terms_sorted[:-1]
+                rs = np.flatnonzero(is_head)
+                df_sum = np.add.reduceat(combined.column("df").to_numpy().astype(np.int64), rs)
+                cf_sum = np.add.reduceat(combined.column("cf").to_numpy().astype(np.int64), rs)
+                taken = combined.column("blocks")
+                if isinstance(taken, pa.ChunkedArray):
+                    taken = taken.combine_chunks()
+                row_off = taken.offsets.to_numpy().astype(np.int32)
+                new_off = np.concatenate([row_off[rs], [row_off[-1]]]).astype(np.int32)
+                merged_blocks = pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()), taken.values)
+                n_terms = len(rs)
+                table = pa.table(
+                    {
+                        "term": pa.array(terms_sorted[rs], type=pa.string()),
+                        "df": pa.array(df_sum, type=pa.int64()),
+                        "cf": pa.array(cf_sum, type=pa.int64()),
+                        "blocks": merged_blocks,
+                    },
+                    schema=POSTINGS_SCHEMA,
                 )
-                n_terms += 1
-            table = pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
             final = os.path.join(out_dir, "postings", f"part-{pid:05d}.parquet")
             tmp = os.path.join(out_dir, "postings", f".tmp-{uuid.uuid4().hex}.parquet")
             pq.write_table(table, tmp)
