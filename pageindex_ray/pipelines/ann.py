@@ -23,6 +23,8 @@ no per-query Python loop). Exact on the probed subset.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -371,6 +373,8 @@ def embedding_near_dup_lsh(
 # IVF
 # --------------------------------------------------------------------------
 
+_IVF_FORMAT = 2  # on-disk layout version; bump on incompatible changes
+
 def fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 11) -> np.ndarray:
     """Seeded k-means-lite on a driver-side sample (Lloyd, few iterations)."""
     rng = np.random.default_rng(seed)
@@ -398,59 +402,172 @@ def ivf_probe_sets(query_matrix: np.ndarray, cent: np.ndarray, nprobe: int) -> n
     return np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
 
 
-def ivf_ann(
+def build_ivf_index(
     ds: "ray.data.Dataset",
+    index_dir: str,
+    n_clusters: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 11,
+    iters: int = 8,
+) -> dict:
+    """Build-once IVF index: seeded centroids (driver sample, broadcast) +
+    ONE assignment pass over the corpus, persisted as parquet PARTITIONED BY
+    CLUSTER so the probe path reads only probed clusters' files (partition
+    pruning at the source — round 2 re-assigned every vector on every query
+    call, a full corpus scan per batch). Crash-safe commit (tmp dir rename
+    with the marker inside, same discipline as pipelines/curation.py).
+    Idempotent: an existing committed index is reused."""
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("format") == _IVF_FORMAT:
+            return meta
+        shutil.rmtree(index_dir)  # stale on-disk layout: rebuild
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+
+    sample = ds.limit(sample_rows).to_pandas()
+    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = fit_centroids(sm, n_clusters, iters=iters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    class AssignBatch:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _as_matrix(batch.column("embedding"))
+            assign = pa.array(assign_clusters(m, self.cent).astype(np.int64), type=pa.int64())
+            # "cluster" stays a DATA column (the scorer groups on it);
+            # "part" is the hive partition copy that write_parquet consumes
+            # — the probe path prunes by part=<c> directory paths, which
+            # sidesteps filters on partition-only fields entirely
+            return batch.append_column("cluster", assign).append_column("part", assign)
+
+    ds.select_columns(["vec_id", "embedding"]).map_batches(
+        AssignBatch, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    ).write_parquet(os.path.join(tmp_dir, "vectors"), partition_cols=["part"])
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(np.arange(len(cent), dtype=np.int64)),
+                "centroid": pa.array(list(cent), type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(tmp_dir, "centroids.parquet"),
+    )
+    meta = {
+        "format": _IVF_FORMAT,
+        "n_clusters": int(len(cent)),
+        "dim": int(cent.shape[1]),
+        "sample_rows": sample_rows,
+        "seed": seed,
+        "iters": iters,
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp_dir, index_dir)
+    return meta
+
+
+def ivf_query(
+    index_dir: str,
     query_ids: np.ndarray,
     query_matrix: np.ndarray,
     k: int = 10,
-    n_clusters: int = 16,
     nprobe: int = 4,
-    sample_rows: int = 2048,
     exclude_self: bool = True,
-) -> pa.Table:
-    """IVF-style ANN: restrict the scan to the nprobe closest centroids per
-    query. Exact within the probed subset (tie-inclusive per-batch partials,
-    same merge as brute force); recall vs brute_force_ann measured in tests
-    and pinned by the driver oracle (probed-subset SQL twin over the
-    deterministic assignment sidecar)."""
-    sample = ds.limit(sample_rows).to_pandas()
-    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    cent = fit_centroids(sm, n_clusters)
-    cent_ref = ray.put(cent)
+    return_stats: bool = False,
+):
+    """Probe a persisted IVF index: only the union of the queries' nprobe
+    closest clusters is READ (hive partition pruning on the cluster column),
+    and each batch is scored one cluster at a time using the STORED
+    assignment — no re-assignment, no full-corpus scan. Exact within the
+    probed subset; same tie-break and merge as brute force."""
+    import pyarrow.parquet as pq
 
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        raise FileNotFoundError(f"IVF index at {index_dir} is not committed")
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet")).sort_by("cluster")
+    cent = _as_matrix(cent_t.column("centroid"))
     probe = ivf_probe_sets(query_matrix, cent, nprobe)  # (Q, nprobe)
-    # cluster -> array of query indices probing it (grouped scoring)
     queries_of_cluster: dict[int, np.ndarray] = {}
     for c in range(len(cent)):
         qs = np.flatnonzero((probe == c).any(axis=1))
         if len(qs):
             queries_of_cluster[int(c)] = qs
+    probed = sorted(queries_of_cluster)
 
-    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": query_matrix})
+    # partition pruning by PATH: only probed clusters' directories are read
+    # (an empty cluster has no directory — skip it)
+    vec_root = os.path.join(index_dir, "vectors")
+    paths = [
+        os.path.join(d, f)
+        for c in probed
+        if os.path.isdir(d := os.path.join(vec_root, f"part={c}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        empty = _merge_partials(
+            pa.schema(
+                [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+            ).empty_table().to_pandas(),
+            k,
+            exclude_self,
+        )
+        return (empty, {"scanned_rows": 0, "probed_clusters": probed}) if return_stats else empty
+    sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "cluster"])
 
-    class ProbedTopK(CosineTopK):
-        """Scores one CLUSTER at a time: batch rows are grouped by assigned
-        centroid and each present cluster gets one (Q_c x n_c) matmul for
-        exactly the queries probing it — no per-query Python loop."""
+    ref = ray.put(
+        {
+            "ids": np.asarray(query_ids, dtype=np.int64),
+            "matrix": query_matrix,
+            "queries_of_cluster": queries_of_cluster,
+        }
+    )
+
+    class ClusterTopK:
+        """Scores one stored CLUSTER at a time: batch rows are grouped by
+        the persisted cluster column and each present cluster gets one
+        (Q_c x n_c) matmul for exactly the queries probing it."""
 
         def __init__(self, queries_ref, k):
-            super().__init__(queries_ref, k)
-            self.cent = ray.get(cent_ref)
+            q = ray.get(queries_ref)
+            self.query_ids = q["ids"]
+            self.qm = q["matrix"]
+            self.qnorm = np.linalg.norm(self.qm, axis=1)
+            self.of_cluster = q["queries_of_cluster"]
+            self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _as_matrix(batch.column("embedding"))
             vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
-            assign = assign_clusters(m, self.cent)
+            clusters = batch.column("cluster").cast(pa.int64()).to_numpy()
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             out_q, out_v, out_s = [], [], []
-            for c in np.unique(assign):
-                qs = queries_of_cluster.get(int(c))
+            for c in np.unique(clusters):
+                qs = self.of_cluster.get(int(c))
                 if qs is None:
                     continue
-                rows = np.flatnonzero(assign == c)
-                sub, subids, subn = m[rows], vec_ids[rows], norms[rows]
-                sims = (self.qm[qs] @ sub.T) / (self.qnorm[qs, None] * subn[None, :])
+                rows = np.flatnonzero(clusters == c)
+                sub_m, subids, subn = m[rows], vec_ids[rows], norms[rows]
+                sims = (self.qm[qs] @ sub_m.T) / (self.qnorm[qs, None] * subn[None, :])
                 kk = min(self.k + 1, sims.shape[1])
                 for qi_local, qi in enumerate(qs):
                     row = sims[qi_local]
@@ -470,11 +587,50 @@ def ivf_ann(
                 }
             )
 
-    partials = ds.map_batches(
-        ProbedTopK,
+    scored = sub.map_batches(
+        ClusterTopK,
         fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
-    ).to_pandas()
-    return _merge_partials(partials, k, exclude_self)
+    )
+    if return_stats:
+        scanned = sub.count()
+        out = _merge_partials(scored.to_pandas(), k, exclude_self)
+        return out, {"scanned_rows": int(scanned), "probed_clusters": probed}
+    return _merge_partials(scored.to_pandas(), k, exclude_self)
+
+
+def ivf_ann(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2048,
+    exclude_self: bool = True,
+    index_dir: str | None = None,
+) -> pa.Table:
+    """IVF-style ANN over a build-once/probe-many persisted index. With
+    ``index_dir`` set, repeated calls reuse the committed assignment and read
+    only probed clusters; without it a process-temp index is built (and
+    reused within the process). Exact within the probed subset; results
+    pinned by the driver oracle (probed-subset SQL twin over the
+    deterministic assignment sidecar)."""
+    import shutil
+    import tempfile
+
+    ephemeral = index_dir is None
+    if ephemeral:
+        # fresh dir per call: a process-keyed cache would silently serve a
+        # STALE index when the same process queries a different dataset
+        index_dir = tempfile.mkdtemp(prefix="pageindex_ray_ivf_") + "/idx"
+    try:
+        build_ivf_index(ds, index_dir, n_clusters=n_clusters, sample_rows=sample_rows)
+        return ivf_query(
+            index_dir, query_ids, query_matrix, k=k, nprobe=nprobe, exclude_self=exclude_self
+        )
+    finally:
+        if ephemeral:
+            shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)

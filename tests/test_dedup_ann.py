@@ -201,3 +201,45 @@ def test_wav_ppm_decode_round_trip():
         pix = np.frombuffer(ppm[len(header):], dtype=np.uint8)
         idx = np.arange(w_ * h_ * 3, dtype=np.int64)
         assert np.array_equal(pix, ((doc_id + idx) % 256).astype(np.uint8))
+
+
+def test_ivf_persisted_index_prunes_and_reuses(ray_session, tmp_path):
+    """build_ivf_index + ivf_query: the probe path must read ONLY the probed
+    clusters' partitions (no full-corpus rescan per query batch — the round-2
+    weakness), reuse the committed index across calls, and return results
+    identical to the build-and-query wrapper."""
+    import os
+
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import build_ivf_index, ivf_ann, ivf_query
+
+    rng = np.random.default_rng(5)
+    n, d = 600, 16
+    mat = rng.normal(size=(n, d))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([row for row in mat.astype(np.float32)]),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    qids = np.arange(3, dtype=np.int64)
+    qm = mat[:3].astype(np.float64)
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_clusters=8, sample_rows=512)
+    assert meta["n_clusters"] == 8
+    # idempotent reuse: second build must NOT rewrite (same mtime)
+    stamp = os.path.getmtime(os.path.join(idx, "meta.json"))
+    build_ivf_index(ds, idx, n_clusters=8, sample_rows=512)
+    assert os.path.getmtime(os.path.join(idx, "meta.json")) == stamp
+
+    out, stats = ivf_query(idx, qids, qm, k=10, nprobe=2, return_stats=True)
+    assert len(stats["probed_clusters"]) <= 6  # union of 3 queries x 2 probes
+    assert 0 < stats["scanned_rows"] < n  # partition pruning actually engaged
+
+    # wrapper path (fresh ephemeral index, same seeded fit) must agree
+    wrapped = ivf_ann(ds, qids, qm, k=10, n_clusters=8, nprobe=2, sample_rows=512)
+    got = ivf_query(idx, qids, qm, k=10, nprobe=2)
+    assert got.equals(wrapped)
