@@ -192,6 +192,13 @@ def _q_doc_tokens_bpe(sf_dir: str):
     return documents_tokens_bpe(sf_dir)
 
 
+def _q_doc_tokens_bpe2(sf_dir: str):
+    from pageindex_ray.pipelines.textstats import documents_tokens_bpe2
+
+    ensure_sidecars(sf_dir)  # the (piece -> n_tokens) map the SQL twin joins
+    return documents_tokens_bpe2(sf_dir)
+
+
 def _q_doc_quality(sf_dir: str):
     from pageindex_ray.pipelines.textstats import documents_quality
 
@@ -500,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
+        "doc_tokens_bpe2": _q_doc_tokens_bpe2,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -649,6 +657,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_pieces
             FROM documents
         """,
+        # true merge-table BPE: pieces re-extracted with the shared RE2
+        # pattern, token counts joined from the committed-encoder sidecar
+        "doc_tokens_bpe2": (
+            r"""
+            WITH pieces AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS piece
+              FROM documents
+            ),
+            sums AS (
+              SELECT p.doc_id, sum(m.n_tokens) AS s
+              FROM pieces p JOIN read_parquet('"""
+            + _SIDE["bpe_pieces"]
+            + r"""') m ON m.piece = p.piece
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+        """
+        ),
         "doc_quality": f"""
             WITH t AS (
               SELECT doc_id, text, {_TOKS} AS toks FROM documents

@@ -76,6 +76,7 @@ def ensure_sidecars(sf_dir: str) -> dict[str, str]:
         "hyperplane_bands": os.path.join(out_dir, "hyperplane_bands.parquet"),
         "ivf_assign": os.path.join(out_dir, "ivf_assign.parquet"),
         "ivf_probes": os.path.join(out_dir, "ivf_probes.parquet"),
+        "bpe_pieces": os.path.join(out_dir, "bpe_pieces.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -161,6 +162,31 @@ def ensure_sidecars(sf_dir: str) -> dict[str, str]:
         ),
         paths["ivf_assign"],
     )
+    # --- true-BPE (piece -> token count) map ------------------------------
+    # one row per DISTINCT pre-tokenizer piece of the documents text, token
+    # count from the committed merge table (functions/bpe.py); the SQL twin
+    # re-extracts pieces with the shared RE2 pattern and joins this map
+    from ..functions.bpe import BPE, PIECE_RE
+
+    bpe = BPE()
+    distinct_pieces = sorted({p for t in texts for p in PIECE_RE.findall(t or "")})
+    _write_atomic(
+        pa.table(
+            {
+                "piece": pa.array(distinct_pieces, type=pa.string()),
+                "n_tokens": pa.array(
+                    np.fromiter(
+                        (bpe.n_tokens(p) for p in distinct_pieces),
+                        dtype=np.int64,
+                        count=len(distinct_pieces),
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        paths["bpe_pieces"],
+    )
+
     qmask = vec_ids < IVF_N_QUERIES
     order = np.argsort(vec_ids[qmask])
     qids = vec_ids[qmask][order]

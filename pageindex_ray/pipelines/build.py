@@ -161,10 +161,32 @@ def _text_uncompressed_bytes(transcripts_path) -> int:
     return total
 
 
-def resolve_reduce_strategy(transcripts_path, cfg: BuildConfig) -> tuple[str, dict]:
+def _cluster_nodes() -> int:
+    try:
+        import ray as _ray
+
+        return max(1, sum(1 for n in _ray.nodes() if n.get("Alive", True)))
+    except Exception:
+        return 1
+
+
+# Direct reduce makes EVERY node pull the whole packed intermediate (its
+# assemble tasks ray.get all blocks and filter), so its cross-node traffic is
+# ~nodes x intermediate; a real shuffle moves each byte twice (map-out +
+# reduce-in). Direct still wins below this node count because it skips the
+# shuffle's serialization/spill machinery and its reads are zero-copy from
+# the local object store — the factor is the measured-locally-cheaper margin
+# we grant it before fetch amplification must dominate.
+DIRECT_FETCH_CROSSOVER_FACTOR = 4.0
+
+
+def resolve_reduce_strategy(
+    transcripts_path, cfg: BuildConfig, n_nodes: int | None = None
+) -> tuple[str, dict]:
     """'auto' -> 'direct' | 'sort_groupby'.
 
-    Two-tier decision so the common case costs only parquet-footer reads:
+    Two-tier size decision so the common case costs only parquet-footer
+    reads, then a NETWORK crossover check (SURVEY.md §2.6 A6 scale note):
       1. UPPER BOUND: the packed intermediate is ~6 bytes/posting + the
          term blobs, both bounded by the raw text bytes; 2x the footer's
          uncompressed text size is a safe ceiling. Under budget -> direct,
@@ -172,8 +194,14 @@ def resolve_reduce_strategy(transcripts_path, cfg: BuildConfig) -> tuple[str, di
       2. PRECISE: only when the bound exceeds the budget, run the real emit
          kernel over the deterministic sample and extrapolate bytes/turn
          (x1.5 margin) from the exact footer row count.
+      3. CROSSOVER: direct's cross-node traffic is nodes x intermediate vs
+         ~2 x intermediate for the sort shuffle; when the amplification
+         exceeds DIRECT_FETCH_CROSSOVER_FACTOR x the shuffle cost (i.e.
+         nodes > 2 x factor), a multi-node cluster switches to sort_groupby
+         even when the intermediate fits the budget.
     Budget = cfg.packed_budget_bytes or object_store_fraction of the
-    cluster object store. Returns (strategy, decision report)."""
+    cluster object store. Returns (strategy, decision report — which always
+    includes the network terms so operators can audit the choice)."""
     if cfg.reduce_strategy != "auto":
         return cfg.reduce_strategy, {"mode": "explicit"}
     budget = (
@@ -181,21 +209,45 @@ def resolve_reduce_strategy(transcripts_path, cfg: BuildConfig) -> tuple[str, di
         if cfg.packed_budget_bytes is not None
         else int(cfg.object_store_fraction * _object_store_bytes())
     )
+    nodes = _cluster_nodes() if n_nodes is None else max(1, int(n_nodes))
+
+    def _with_network(strategy: str, est: int, report: dict) -> tuple[str, dict]:
+        direct_bytes = nodes * est
+        shuffle_bytes = 2 * est
+        report.update(
+            {
+                "n_nodes": nodes,
+                "direct_fetch_bytes": direct_bytes,
+                "shuffle_bytes": shuffle_bytes,
+                "crossover_factor": DIRECT_FETCH_CROSSOVER_FACTOR,
+            }
+        )
+        if strategy == "direct" and direct_bytes > DIRECT_FETCH_CROSSOVER_FACTOR * shuffle_bytes:
+            report["switched_by"] = "fetch_amplification"
+            return "sort_groupby", report
+        return strategy, report
+
     upper = 2 * _text_uncompressed_bytes(transcripts_path)
     if upper <= budget:
-        return "direct", {"mode": "auto", "upper_bound_bytes": upper, "budget_bytes": budget}
+        return _with_network(
+            "direct", upper, {"mode": "auto", "upper_bound_bytes": upper, "budget_bytes": budget}
+        )
     n_rows = count_input_rows(transcripts_path)
     per_turn = estimate_packed_bytes_per_turn(transcripts_path, cfg)
     est = int(per_turn * n_rows * 1.5)
     strategy = "direct" if est <= budget else "sort_groupby"
-    return strategy, {
-        "mode": "auto",
-        "upper_bound_bytes": upper,
-        "est_packed_bytes": est,
-        "budget_bytes": budget,
-        "bytes_per_turn": round(per_turn, 2),
-        "n_rows": n_rows,
-    }
+    return _with_network(
+        strategy,
+        est,
+        {
+            "mode": "auto",
+            "upper_bound_bytes": upper,
+            "est_packed_bytes": est,
+            "budget_bytes": budget,
+            "bytes_per_turn": round(per_turn, 2),
+            "n_rows": n_rows,
+        },
+    )
 
 
 def estimate_hot_terms(transcripts_path, cfg: BuildConfig, sample_rows: int = 20_000) -> list[str]:

@@ -107,16 +107,27 @@ def conv_text_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 
 
 class ExtractiveSummarizer:
-    """Actor-pool 'model' stage: __init__ = load-once (here: config only;
-    a real model handle in production), __call__ = summarize per batch.
-    Summary = first ``n_tokens`` tokens of the conversation's first turn."""
+    """Actor-pool 'model' stage: __init__ = LOAD-ONCE, __call__ = summarize
+    per batch. The load-once slot is pluggable: ``model_factory`` (any
+    zero-arg callable returning an object with ``__call__(texts) ->
+    summaries``) is invoked exactly once per actor at construction — the
+    shape a real model-backed enrichment needs (the reference's
+    ``generate_node_summary`` / ``generate_doc_description``,
+    /root/reference/pageindex/utils.py:580-610, re-resolves its client per
+    call; here the handle lives for the actor's lifetime and inference is
+    batched). Default model: deterministic extractive (first ``n_tokens``
+    tokens of the conversation's first turn)."""
 
-    def __init__(self, n_tokens: int = 10):
+    def __init__(self, n_tokens: int = 10, model_factory=None):
         self.n_tokens = n_tokens
+        self.model = model_factory() if model_factory is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("first_text").to_pylist()
-        summaries = [" ".join(tokenize(t)[: self.n_tokens]) for t in texts]
+        if self.model is not None:
+            summaries = [str(s) for s in self.model(texts)]  # batched inference
+        else:
+            summaries = [" ".join(tokenize(t)[: self.n_tokens]) for t in texts]
         return pa.table(
             {
                 "conv_id": batch.column("conv_id"),
@@ -125,7 +136,7 @@ class ExtractiveSummarizer:
         )
 
 
-def conv_summaries(sf_dir: str) -> "ray.data.Dataset":
+def conv_summaries(sf_dir: str, model_factory=None, concurrency=(1, 4)) -> "ray.data.Dataset":
     tpath, _ = ensure_corpus(sf_dir)
     ds = read_parquet_clean(tpath, columns=["conv_id", "turn_idx", "text"])
     schema = pa.schema([("conv_id", pa.string()), ("first_text", pa.string())])
@@ -152,10 +163,10 @@ def conv_summaries(sf_dir: str) -> "ray.data.Dataset":
     firsts = _bucketed_by_conv(ds, first_turn)
     return firsts.map_batches(
         ExtractiveSummarizer,
-        fn_constructor_args=(10,),
+        fn_constructor_args=(10, model_factory),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=concurrency,
     )
 
 
@@ -193,16 +204,33 @@ class SalienceScorer:
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sals = []
-        for t in batch.column("text").to_pylist():
-            toks = set(tokenize(t or ""))
-            sals.append(sum(self._idf_micro(w) for w in toks) if toks else None)
+        from ..tokenizer import tokenize_batch
+
+        texts = batch.column("text").to_pylist()
+        flat, lengths = tokenize_batch(t or "" for t in texts)
+        rows = np.repeat(np.arange(len(texts), dtype=np.int64), lengths)
+        # distinct (row, term) pairs -> idf per UNIQUE term (Zipf: far fewer
+        # than tokens) -> one scatter-add per batch; the old version
+        # re-tokenized and summed per row in Python
+        if len(flat):
+            import pandas as pd
+
+            pairs = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
+            uniq, inv = np.unique(pairs["term"].to_numpy(dtype=object), return_inverse=True)
+            idf_u = np.fromiter(
+                (self._idf_micro(t) for t in uniq), dtype=np.int64, count=len(uniq)
+            )
+            sal = np.zeros(len(texts), dtype=np.int64)
+            np.add.at(sal, pairs["row"].to_numpy(), idf_u[inv])
+        else:
+            sal = np.zeros(len(texts), dtype=np.int64)
+        sal_arr = pa.array(sal, type=pa.int64(), mask=lengths == 0)  # token-less -> null
         return pa.table(
             {
                 "conv_id": batch.column("conv_id"),
                 "turn_idx": batch.column("turn_idx"),
                 "text": batch.column("text"),
-                "sal": pa.array(sals, type=pa.int64()),
+                "sal": sal_arr,
             }
         )
 
@@ -223,14 +251,20 @@ def conv_salient_summary(sf_dir: str) -> "ray.data.Dataset":
     df_partial_schema = pa.schema([("term", pa.string()), ("pdf", pa.int64())])
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for w in set(tokenize(t or "")):
-                counts[w] = counts.get(w, 0) + 1
+        import pandas as pd
+
+        from ..tokenizer import tokenize_batch
+
+        flat, lengths = tokenize_batch(t or "" for t in batch.column("text").to_pylist())
+        if not len(flat):
+            return df_partial_schema.empty_table()
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        pairs = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
+        counts = pairs["term"].value_counts()
         return pa.table(
             {
-                "term": pa.array(list(counts.keys()), type=pa.string()),
-                "pdf": pa.array(list(counts.values()), type=pa.int64()),
+                "term": pa.array(counts.index.to_numpy(dtype=object), type=pa.string()),
+                "pdf": pa.array(counts.to_numpy().astype(np.int64), type=pa.int64()),
             },
             schema=df_partial_schema,
         )

@@ -47,6 +47,36 @@ def documents_tokens_bpe(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
 
 
+class BpeTokenCounter:
+    """Actor-pool stage: TRUE merge-table BPE token accounting (the
+    reference counts tokens against a real vocabulary via tiktoken,
+    /root/reference/pageindex/utils.py:23-31 — ``documents_tokens_bpe``
+    above only counts pre-tokenizer pieces). The committed merge table is
+    loaded once per actor; each unique piece pays the merge loop once and
+    every repeat is a cache hit (functions/bpe.py)."""
+
+    def __init__(self):
+        from ..functions.bpe import BPE
+
+        self.bpe = BPE()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = self.bpe.count_batch(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def documents_tokens_bpe2(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document TRUE-BPE token count over the committed merge table."""
+    return _documents(sf_dir).map_batches(
+        BpeTokenCounter, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4)
+    )
+
+
 def documents_quality(sf_dir: str) -> "ray.data.Dataset":
     def f(batch: pa.Table) -> pa.Table:
         out = quality_features(batch)

@@ -86,3 +86,60 @@ def test_minhash_empty_docs_cluster_together(ray_session):
     assert out.loc[1, "canonical_id"] == 1
     assert out.loc[3, "canonical_id"] == 3
     assert out.loc[4, "canonical_id"] == 4
+
+
+def test_summarizer_model_hook_constructed_once_per_actor(ray_session, tmp_path):
+    """conv_summaries(model_factory=...): the injected model must be built
+    exactly once per ACTOR (load-once enrichment — the reference's
+    generate_node_summary analogue), not once per batch, and its batched
+    outputs must land in the summary column."""
+    import ray
+
+    from pageindex_ray.pipelines.conversations import ExtractiveSummarizer
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def incr(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+
+    class FakeModel:
+        def __init__(self, handle):
+            ray.get(handle.incr.remote())
+
+        def __call__(self, texts):
+            return [f"FAKE::{(t or '').split(' ')[0]}" for t in texts]
+
+    def factory(handle=counter):
+        return FakeModel(handle)
+
+    table = pa.table(
+        {
+            "conv_id": pa.array([f"c{i:03d}" for i in range(64)], type=pa.string()),
+            "first_text": pa.array([f"word{i} tail" for i in range(64)], type=pa.string()),
+        }
+    )
+    import ray.data
+
+    out = (
+        ray.data.from_arrow(table)
+        .map_batches(
+            ExtractiveSummarizer,
+            fn_constructor_args=(10, factory),
+            batch_format="pyarrow",
+            batch_size=4,  # 16 batches >> actor count
+            concurrency=(2, 2),
+        )
+        .to_pandas()
+    )
+    assert len(out) == 64
+    assert out["summary"].str.startswith("FAKE::").all()
+    built = ray.get(counter.get.remote())
+    assert 1 <= built <= 2, f"model built {built} times for 2 actors / 16 batches"

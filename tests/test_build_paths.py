@@ -102,3 +102,34 @@ def test_stratified_hot_terms_and_bit_identical_postings(ray_session, tmp_path):
         ta = pq.read_table(os.path.join(idx_a, "postings", f))
         tb = pq.read_table(os.path.join(idx_b, "postings", f))
         assert ta.equals(tb), f"partition {f} differs between sorted/shuffled builds"
+
+
+def test_reduce_strategy_network_crossover(ray_session, tmp_path):
+    """The auto chooser must report the nodes x intermediate vs shuffle
+    network terms and flip to sort_groupby when direct's per-node fetch
+    amplification dominates — a single box keeps direct, a wide cluster
+    must not pull N full copies of the intermediate."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import (
+        DIRECT_FETCH_CROSSOVER_FACTOR,
+        resolve_reduce_strategy,
+    )
+    from pageindex_ray.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(synth_transcripts(500), src)
+    cfg = BuildConfig()  # reduce_strategy="auto"
+
+    s1, rep1 = resolve_reduce_strategy(src, cfg, n_nodes=1)
+    assert s1 == "direct"
+    for key in ("n_nodes", "direct_fetch_bytes", "shuffle_bytes", "crossover_factor"):
+        assert key in rep1
+    assert rep1["direct_fetch_bytes"] == rep1["shuffle_bytes"] // 2
+
+    wide = int(2 * DIRECT_FETCH_CROSSOVER_FACTOR) + 1  # first amplified width
+    s2, rep2 = resolve_reduce_strategy(src, cfg, n_nodes=wide)
+    assert s2 == "sort_groupby"
+    assert rep2["switched_by"] == "fetch_amplification"
+    # explicit strategy is never second-guessed
+    s3, _ = resolve_reduce_strategy(src, cfg.with_overrides(reduce_strategy="direct"), n_nodes=wide)
+    assert s3 == "direct"

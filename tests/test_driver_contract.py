@@ -68,7 +68,8 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", [
     "docmap", "corpus_stats", "term_stats", "bm25_topk", "bm25_conv_topk",
-    "role_stats", "doc_tokens", "doc_tokens_bpe", "doc_quality", "doc_langid", "doc_fingerprint",
+    "role_stats", "doc_tokens", "doc_tokens_bpe", "doc_tokens_bpe2",
+    "doc_quality", "doc_langid", "doc_fingerprint",
     "dedup_exact", "dedup_jaccard", "ann_topk", "multimodal_meta",
     "multimodal_frames", "multimodal_resize", "multimodal_wav", "multimodal_ppm", "q1_pricing",
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",

@@ -152,3 +152,44 @@ def test_partition_consolidation_matches_per_row():
             assert np.array_equal(a, b), row["term"]
         assert got["df"] == row["df"] and got["cf"] == row["cf"]
         assert np.array_equal(got["max_factors"], ref["max_factors"])
+
+
+def test_bpe_encoder_matches_reference_semantics():
+    """The committed merge-table encoder must implement classic BPE: apply
+    the lowest-rank adjacent merge repeatedly; counts are consistent between
+    the scalar path and the batched unique-piece path."""
+    from pageindex_ray.functions.bpe import BPE, train_bpe
+
+    merges = train_bpe(["low lower lowest low low", "new newer newest new"], n_merges=50)
+    bpe = BPE(merges)
+    # training on this corpus must fully merge its most frequent word
+    assert bpe.encode("low") == ("low",)
+    # an UNSEEN piece still encodes (partial merges), never errors
+    toks = bpe.encode("slowest")
+    assert "".join(toks) == "slowest"
+    assert 1 <= len(toks) <= len("slowest")
+
+    texts = ["low lower, LOWEST!", "", None, "new new new", "42 low7"]
+    counts = bpe.count_batch(texts)
+    import re
+
+    from pageindex_ray.functions.bpe import PIECE_RE
+
+    want = [
+        sum(len(bpe.encode(p)) for p in PIECE_RE.findall(t or "")) for t in texts
+    ]
+    assert counts.tolist() == want
+    assert counts[1] == 0 and counts[2] == 0
+
+
+def test_bpe_committed_table_deterministic():
+    """Regenerating the committed artifact from its documented source must
+    reproduce it byte-for-byte (no seed, lexicographic tie-break)."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.functions.bpe import _MERGES_PATH, load_merges, train_bpe
+
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    assert train_bpe(texts, n_merges=1000) == load_merges(_MERGES_PATH)
