@@ -38,17 +38,17 @@ def token_counts(texts: pa.Array) -> pa.Array:
 
 
 def stopword_counts(texts: pa.Array) -> np.ndarray:
-    """Tokens per row that are in STOPWORDS_EN (vectorized via one findall +
-    np.isin over the flattened token stream)."""
+    """Tokens per row that are in STOPWORDS_EN: ONE flattened token stream,
+    one np.isin membership pass, one scatter-add back to rows (the per-row
+    isin-and-sum loop this replaces allocated an array per document)."""
+    from ..tokenizer import tokenize_batch
+
     stop = np.asarray(STOPWORDS_EN, dtype=object)
-    findall = TOKEN_RE.findall
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.to_pylist()):
-        toks = findall(t.lower()) if t else []
-        if toks:
-            out[i] = int(np.isin(np.asarray(toks, dtype=object), stop).sum())
-        else:
-            out[i] = 0
+    flat, lengths = tokenize_batch(texts.to_pylist())
+    out = np.zeros(len(lengths), dtype=np.int64)
+    if len(flat):
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        np.add.at(out, rows, np.isin(flat, stop).astype(np.int64))
     return out
 
 

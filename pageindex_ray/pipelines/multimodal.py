@@ -57,22 +57,37 @@ class PayloadDecoder:
     __init__ (model/codec handle per actor); __call__ decodes per batch.
 
     ``features`` mode emits deterministic fake features (byte stats + md5)
-    standing in for embeddings; ``decode`` mode raises NotImplementedError —
-    the real image/audio decoder is not available in this environment.
+    standing in for embeddings. ``decode`` mode dispatches to a PLUGGABLE
+    ``codec_factory`` (zero-arg callable -> object with ``decode(payload
+    bytes) -> bytes``), constructed once per actor — a user with PIL/ffmpeg
+    in their environment injects a factory and the Ray-side plumbing (actor
+    pool, batch size, schema) is already real; without one, decode raises
+    NotImplementedError because no codec library ships in this container
+    (the WAV/PPM stages below are the two formats decodable stdlib-only).
     """
 
-    def __init__(self, mode: str = "features"):
+    def __init__(self, mode: str = "features", codec_factory=None):
         if mode not in ("features", "decode"):
             raise ValueError(mode)
         self.mode = mode
-        # real implementation: self.codec = load_codec(); here: a marker
-        self.codec_loaded = True
+        # load-once slot: the injected codec lives for the actor's lifetime
+        self.codec = codec_factory() if codec_factory is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "decode":
-            raise NotImplementedError(
-                "real image/audio decode requires codec libraries not present "
-                "in this container; use mode='features' for the plumbing path"
+            if self.codec is None:
+                raise NotImplementedError(
+                    "real image/audio decode requires codec libraries not present "
+                    "in this container; inject codec_factory=... or use "
+                    "mode='features' for the plumbing path"
+                )
+            decoded = [self.codec.decode(p) for p in batch.column("payload").to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "decoded": pa.array(decoded, type=pa.binary()),
+                    "n_bytes": pa.array([len(d) for d in decoded], type=pa.int64()),
+                }
             )
         payloads = batch.column("payload").to_pylist()
         md5s = [hashlib.md5(p).hexdigest() for p in payloads]

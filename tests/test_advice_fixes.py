@@ -143,3 +143,41 @@ def test_summarizer_model_hook_constructed_once_per_actor(ray_session, tmp_path)
     assert out["summary"].str.startswith("FAKE::").all()
     built = ray.get(counter.get.remote())
     assert 1 <= built <= 2, f"model built {built} times for 2 actors / 16 batches"
+
+
+def test_payload_decoder_codec_hook(ray_session):
+    """PayloadDecoder(mode='decode'): without a codec it must raise (the
+    documented environment gap), WITH an injected codec_factory the decode
+    path runs end-to-end through the actor pool."""
+    import pytest
+    import ray.data
+
+    from pageindex_ray.pipelines.multimodal import PayloadDecoder
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([b"abc", b""], type=pa.binary()),
+            "n_bytes": pa.array([3, 0], type=pa.int64()),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="codec"):
+        PayloadDecoder("decode")(table)
+
+    class UpperCodec:
+        def decode(self, payload: bytes) -> bytes:
+            return payload.upper()
+
+    out = (
+        ray.data.from_arrow(table)
+        .map_batches(
+            PayloadDecoder,
+            fn_constructor_args=("decode", UpperCodec),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["decoded"].tolist() == [b"ABC", b""]
