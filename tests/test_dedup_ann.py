@@ -243,3 +243,61 @@ def test_ivf_persisted_index_prunes_and_reuses(ray_session, tmp_path):
     wrapped = ivf_ann(ds, qids, qm, k=10, n_clusters=8, nprobe=2, sample_rows=512)
     got = ivf_query(idx, qids, qm, k=10, nprobe=2)
     assert got.equals(wrapped)
+
+
+def test_distributed_components_matches_driver_union_find(ray_session):
+    """cc='distributed' (min-label propagation + pointer doubling, nothing
+    driver-materialized) must produce the identical (doc_id, canonical_id)
+    table as the driver union-find — including a CHAIN component (a~b~c~d
+    where a and d are not direct candidates) that exercises multi-round
+    convergence."""
+    import ray.data
+
+    from pageindex_ray.pipelines.dedup import distributed_components, minhash_dedup
+
+    # chain of overlapping near-identical docs + one exact pair + singletons
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = {
+        10: " ".join(words),
+        11: " ".join(words[:9] + ["mu"]),       # ~ 10
+        12: " ".join(words[:9] + ["nu"]),        # ~ 10, 11
+        13: " ".join(["pi"] + words[1:9] + ["nu"]),  # ~ 12
+        20: "one two three four five six seven eight nine ten",
+        21: "one two three four five six seven eight nine ten",
+        30: "completely different text about other things entirely here now",
+        31: "unrelated content with its own vocabulary and nothing shared",
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), type=pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    kw = dict(jaccard_threshold=0.5, num_perm=64, num_bands=16, shingle_k=3)
+    drv = minhash_dedup(ds, cc="driver", **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = minhash_dedup(ds, cc="distributed", **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert drv.equals(dist)
+    assert drv.loc[drv["doc_id"] == 21, "canonical_id"].item() == 20
+
+    # pure CC check on a long chain (diameter 7): converges via doubling
+    edges = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 5, 6, 7, 8], type=pa.int64()),
+        }
+    )
+    comp = (
+        distributed_components(ray.data.from_arrow(edges))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert comp["comp"].tolist() == [1] * 8
+
+    # empty edge set -> empty component table
+    empty = distributed_components(
+        ray.data.from_arrow(edges.slice(0, 0))
+    ).to_pandas()
+    assert len(empty) == 0
