@@ -37,7 +37,7 @@ TOKEN_PATTERN = "[a-z0-9]+"  # must stay in sync with tokenizer.TOKEN_RE
 def compute_conv_offsets(
     ds: "ray.data.Dataset",
     with_tokens: bool = True,
-    driver_merge_max_rows: int = 2_000_000,
+    driver_merge_max_rows: int = 8_000_000,
 ) -> dict[str, np.ndarray]:
     """Per-conversation (count, min, max of turn_idx) -> validated dense-turn
     contract + exclusive prefix-sum base offsets.
@@ -51,10 +51,13 @@ def compute_conv_offsets(
     at most #distinct-convs rows per 128k-turn batch, never ships `text`
     rows). The merge of those partials is size-adaptive:
 
-    * <= ``driver_merge_max_rows`` partial rows (the common case — e.g.
-      10M convs touched across batches): one driver-side groupby+sort. A
-      single fixed cost, no extra Dataset execution; the driver must hold
-      O(#convs) for the final broadcast table anyway.
+    * <= ``driver_merge_max_rows`` partial rows: one driver-side Arrow
+      group_by + sort. A single fixed cost, no extra Dataset execution; the
+      driver must hold O(#convs) for the final broadcast table anyway, and
+      the threshold (8M rows, a few hundred MB) keeps the driver table in
+      that same order of magnitude. Measured at sf4 (7.6M partial rows —
+      the row-shuffled corpus makes per-batch combine nearly
+      reduction-free): driver merge 3.0 s vs distributed 4.2 s.
     * above: hash-bucket the partial rows and ``groupby("bucket")`` so each
       merge task receives ONLY its own rows (a tiny shuffle of the partial
       aggregates — round-2's version instead shipped every partial table to
@@ -65,17 +68,39 @@ def compute_conv_offsets(
     Beyond driver memory for the offsets table itself, the table would
     become a dataset and doc_id assignment a broadcast-join per conv range.
     """
-    import pandas as pd
+    # All grouping below runs on Arrow's multithreaded C++ group_by (the
+    # pandas groupby it replaced measured ~1.7x slower per batch and paid a
+    # to_pandas conversion each side). Aggregate output columns are selected
+    # BY NAME (turn_idx_count etc.) so engine-version column order can't
+    # silently reorder fields. UTF-8 byte order == code-point order, so
+    # Arrow's sort_by matches the Python string ordering the doc_id
+    # contract is defined in.
+    out_names = ["conv_id", "n_turns", "min_turn", "max_turn"] + (
+        ["sum_tokens"] if with_tokens else []
+    )
 
-    agg_spec = {
-        "n_turns": ("turn_idx", "size"),
-        "min_turn": ("turn_idx", "min"),
-        "max_turn": ("turn_idx", "max"),
-    }
+    def _select(g: pa.Table, mapping: list[tuple[str, str]]) -> pa.Table:
+        return pa.table({out: g.column(src) for out, src in mapping})
+
+    part_aggs = [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")]
+    part_map = [
+        ("conv_id", "conv_id"),
+        ("n_turns", "turn_idx_count"),
+        ("min_turn", "turn_idx_min"),
+        ("max_turn", "turn_idx_max"),
+    ]
+    merge_aggs = [("n_turns", "sum"), ("min_turn", "min"), ("max_turn", "max")]
+    merge_map = [
+        ("conv_id", "conv_id"),
+        ("n_turns", "n_turns_sum"),
+        ("min_turn", "min_turn_min"),
+        ("max_turn", "max_turn_max"),
+    ]
     if with_tokens:
-        agg_spec["sum_tokens"] = ("n_tok", "sum")
-    merge_spec = {k: (k, k2) for k, (_, k2) in zip(agg_spec, agg_spec.values())}
-    merge_spec["n_turns"] = ("n_turns", "sum")
+        part_aggs.append(("n_tok", "sum"))
+        part_map.append(("sum_tokens", "n_tok_sum"))
+        merge_aggs.append(("sum_tokens", "sum"))
+        merge_map.append(("sum_tokens", "sum_tokens_sum"))
 
     def partial(batch: pa.Table) -> pa.Table:
         cols = {
@@ -86,9 +111,11 @@ def compute_conv_offsets(
             cols["n_tok"] = pc.fill_null(
                 pc.count_substring_regex(pc.utf8_lower(batch.column("text")), TOKEN_PATTERN), 0
             ).cast(pa.int64())
-        df = pa.table(cols).to_pandas()
-        g = df.groupby("conv_id", sort=False).agg(**agg_spec).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table(cols).group_by("conv_id").aggregate(part_aggs)
+        return _select(g, part_map)
+
+    def _merge(tbl: pa.Table) -> pa.Table:
+        return _select(tbl.group_by("conv_id").aggregate(merge_aggs), merge_map)
 
     src_ds = ds if with_tokens else ds.select_columns(["conv_id", "turn_idx"])
     partials = src_ds.map_batches(
@@ -99,16 +126,9 @@ def compute_conv_offsets(
         # single fixed-cost merge: partial rows are already aggregates
         tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
         if tables:
-            df = pa.concat_tables(tables).to_pandas()
-            agg = (
-                df.groupby("conv_id", sort=False)
-                .agg(**merge_spec)
-                .reset_index()
-                .sort_values("conv_id", kind="stable")
-                .reset_index(drop=True)
-            )
+            agg = _merge(pa.concat_tables(tables))
         else:
-            agg = pd.DataFrame({c: [] for c in ["conv_id", *merge_spec]})
+            agg = pa.table({c: [] for c in out_names})
     else:
         N_BUCKETS = 256
 
@@ -127,39 +147,36 @@ def compute_conv_offsets(
             )
             return batch.append_column("bucket", pa.array(h % N_BUCKETS, type=pa.int64()))
 
-        def merge_bucket(tbl: pa.Table) -> pa.Table:
-            df = tbl.to_pandas()
-            g = df.groupby("conv_id", sort=False).agg(**merge_spec).reset_index()
-            return pa.Table.from_pandas(
-                g.sort_values("conv_id", kind="stable"), preserve_index=False
-            )
-
         merged = (
             partials.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(merge_bucket, batch_format="pyarrow")
-            .to_pandas()
+            .map_groups(
+                lambda t: _merge(t.drop_columns(["bucket"])), batch_format="pyarrow"
+            )
+            .materialize()
         )
-        # hash buckets are unordered across buckets: one driver sort of the
-        # already-aggregated conv rows restores the global conv_id order
-        agg = merged.sort_values("conv_id", kind="stable").reset_index(drop=True)
+        agg = pa.concat_tables(t for t in ray.get(merged.to_arrow_refs()) if t.num_rows)
     del partials
+    agg = agg.sort_by("conv_id") if agg.num_rows else agg
 
-    bad = agg[(agg["min_turn"] != 0) | (agg["max_turn"] != agg["n_turns"] - 1)]
+    n = agg.column("n_turns").to_numpy().astype(np.int64) if agg.num_rows else np.empty(0, np.int64)
+    min_turn = agg.column("min_turn").to_numpy() if agg.num_rows else np.empty(0, np.int64)
+    max_turn = agg.column("max_turn").to_numpy() if agg.num_rows else np.empty(0, np.int64)
+    bad = np.flatnonzero((min_turn != 0) | (max_turn != n - 1))
     if len(bad):
+        first = {c: agg.column(c)[int(bad[0])].as_py() for c in agg.column_names}
         raise ValueError(
-            f"{len(bad)} conversations violate the dense turn_idx contract "
-            f"(first: {bad.iloc[0].to_dict()})"
+            f"{len(bad)} conversations violate the dense turn_idx contract (first: {first})"
         )
-    n = agg["n_turns"].to_numpy(dtype=np.int64)
     bases = np.concatenate([[0], np.cumsum(n)[:-1]])
     out = {
-        "conv_ids": agg["conv_id"].to_numpy(dtype=object),
+        "conv_ids": np.asarray(agg.column("conv_id").to_pylist(), dtype=object),
         "bases": bases,
         "n_docs": int(n.sum()),
     }
     if with_tokens:
-        out["total_tokens"] = int(agg["sum_tokens"].sum())
+        tok = agg.column("sum_tokens").to_numpy() if agg.num_rows else np.empty(0, np.int64)
+        out["total_tokens"] = int(tok.sum())
     return out
 
 
