@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--waves", nargs="+", required=True, help="wave index dirs (any order)")
     mg.add_argument("--out", required=True)
 
+    apd = sub.add_parser(
+        "append", help="build a new conv-ordered wave and merge it onto an existing index"
+    )
+    apd.add_argument("--index", required=True, help="existing committed index dir")
+    apd.add_argument("--input", required=True, help="new transcripts parquet/dir")
+    apd.add_argument("--out", required=True, help="merged output index dir")
+
     s = sub.add_parser("search", help="BM25 top-k against a built index")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -93,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.merge import merge_indexes
 
             print(json.dumps(merge_indexes(args.waves, args.out)))
+        elif args.cmd == "append":
+            from .pipelines.merge import append_wave
+
+            print(json.dumps(append_wave(args.index, args.input, args.out)))
         elif args.cmd == "search":
             from .pipelines.search import SearchEngine
 

@@ -280,3 +280,36 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
         "wall_s": time.perf_counter() - t0,
         "index_dir": out_dir,
     }
+
+
+def append_wave(
+    existing_index_dir: str,
+    transcripts_path: str | list[str],
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Incremental corpus growth through the wave path in one call: build
+    the new conv-ordered wave with ``doc_base`` continuing the existing
+    index's doc_id space, then merge existing + wave into ``out_dir`` —
+    no re-tokenization of the already-indexed corpus (the append analogue
+    of the reference's run-again-on-a-new-PDF workflow, and the closest
+    thing to incremental updates SURVEY §2.10 scopes in).
+
+    The new wave's conversations must sort strictly AFTER the existing
+    index's (validated by merge_indexes — the global dense-rank doc_id
+    contract). The scoring config defaults to the existing index's (merge
+    requires them identical). The intermediate wave index is left at
+    ``<out_dir>.wave`` so a crashed append resumes the wave build instead
+    of re-tokenizing."""
+    from .build import build_index, load_meta
+
+    meta = load_meta(existing_index_dir)
+    base = int(meta.get("doc_base", 0)) + int(meta["n_docs"])
+    if cfg is None:
+        known = {k: v for k, v in meta["config"].items()}
+        cfg = BuildConfig(**known)
+    wave_dir = out_dir.rstrip("/") + ".wave"
+    wave_report = build_index(transcripts_path, wave_dir, cfg, doc_base=base)
+    report = merge_indexes([existing_index_dir, wave_dir], out_dir)
+    report["wave"] = wave_report
+    return report

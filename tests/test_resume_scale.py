@@ -284,3 +284,44 @@ def test_wave_index_doc_base_distributed_scoring(ray_session, tiny_corpus, tmp_p
     finally:
         e_driver.shutdown()
         e_dist.shutdown()
+
+
+def test_append_wave_matches_monolithic(ray_session, tiny_corpus, tmp_path):
+    """append_wave (build-new-wave + merge in one call) over a 2/3 : 1/3
+    conv split must equal the monolithic build — logical postings AND
+    queries — and leave a resumable intermediate wave dir."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.merge import append_wave
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    src = pq.read_table(tiny_corpus["transcripts"])
+    convs = sorted(set(src.column("conv_id").to_pylist()))
+    cut = convs[2 * len(convs) // 3]
+    head = src.filter(pc.less(src.column("conv_id"), cut))
+    tail = src.filter(pc.greater_equal(src.column("conv_id"), cut))
+    p_head, p_tail = str(tmp_path / "head.parquet"), str(tmp_path / "tail.parquet")
+    pq.write_table(head, p_head)
+    pq.write_table(tail, p_tail)
+
+    cfg = BuildConfig(num_partitions=4)
+    base_dir = str(tmp_path / "base")
+    out_dir = str(tmp_path / "appended")
+    full_dir = str(tmp_path / "mono")
+    build_index(p_head, base_dir, cfg)
+    report = append_wave(base_dir, p_tail, out_dir)
+    assert report["n_waves"] == 2 and report["wave"]["n_docs"] == tail.num_rows
+    assert os.path.isdir(out_dir + ".wave")  # resumable intermediate
+    build_index(tiny_corpus["transcripts"], full_dir, cfg)
+    assert _postings_content(out_dir) == _postings_content(full_dir)
+
+    qa = SearchEngine(out_dir, num_shards=2)
+    qm = SearchEngine(full_dir, num_shards=2)
+    try:
+        qt = pq.read_table(tiny_corpus["queries"])
+        queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+        assert qa.search_batch(queries, k=10).equals(qm.search_batch(queries, k=10))
+    finally:
+        qa.shutdown()
+        qm.shutdown()
