@@ -150,7 +150,10 @@ class SearchEngine:
             else:
                 num_scorers = 0
         self.scorers = (
-            make_scorer_pool(self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers)
+            make_scorer_pool(
+                self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers,
+                k1=self.k1, b=self.b, avgdl=self.avgdl,
+            )
             if num_scorers > 0
             else []
         )
@@ -348,16 +351,20 @@ class SearchEngine:
         k: int,
         granularity: str,
         segment_span: int = 4,
+        use_wand: bool = False,
     ) -> list[tuple]:
         """All queries x all range scorers in ONE fan-out round-trip.
-        Returns one merged result (or None) per query, in order."""
+        Returns one merged result (or None) per query, in order.
+        ``use_wand`` runs an independent range-clamped block-max WAND per
+        scorer (turn granularity only; rollups score exhaustively)."""
         self._fetch_dfs(sorted({t for _, terms in query_terms for t in terms}))
         items = [(qid, self._term_idfs(terms)) for qid, terms in query_terms]
         live = [(qid, tidfs) for qid, tidfs in items if tidfs]
         if not live:
             return [None] * len(items)
         futures = [
-            s.score_many.remote(live, k, granularity, segment_span) for s in self.scorers
+            s.score_many.remote(live, k, granularity, segment_span, use_wand)
+            for s in self.scorers
         ]
         per_scorer = ray.get(futures)
         merged_live = [
@@ -440,8 +447,13 @@ class SearchEngine:
         hierarchy node between turn and conversation, the analogue of the
         reference's interior tree nodes, /root/reference/pageindex/utils.py:354-400)."""
         terms = sorted(set(tokenize(query_text)))
-        if self.scorers and not use_wand:
-            res = self._score_batch_distributed([(0, terms)], k, granularity, segment_span)[0]
+        if self.scorers:
+            # distributed scoring for every mode; use_wand runs a
+            # range-clamped per-scorer WAND at turn granularity (rollups
+            # always score exhaustively — pruning can't produce group sums)
+            res = self._score_batch_distributed(
+                [(0, terms)], k, granularity, segment_span, use_wand
+            )[0]
             if res is None:
                 return []
             if granularity == "conv":
@@ -517,10 +529,12 @@ class SearchEngine:
         (driver path), or one scorer-pool fan-out for the WHOLE batch
         (distributed path). Every granularity is honored on every path
         (round 2 silently returned turn rows for conv/segment when the
-        distributed branch didn't engage). ``use_wand`` forces driver-side
-        document-at-a-time scoring at turn granularity and is ignored for
-        rollups (pruning skips docs whose group sums still need them) —
-        identical to ``search``'s dispatch.
+        distributed branch didn't engage). ``use_wand`` at turn granularity
+        runs block-max WAND — per-range clamped traversals on the scorer
+        pool when it exists (bounds are range-independent, ranges disjoint,
+        so the merged top-k is exact), driver-side otherwise; rollup
+        granularities ignore it (pruning skips docs whose group sums still
+        need them) — identical to ``search``'s dispatch.
 
         Output schema by granularity:
           turn:    query_id, rank, doc_id, score, conv_id, turn_idx
@@ -530,8 +544,10 @@ class SearchEngine:
         if granularity not in ("turn", "conv", "segment"):
             raise ValueError(f"unknown granularity {granularity!r}")
         per_query = [(qid, sorted(set(tokenize(q)))) for qid, q in queries]
-        if self.scorers and not use_wand:
-            results = self._score_batch_distributed(per_query, k, granularity, segment_span)
+        if self.scorers:
+            results = self._score_batch_distributed(
+                per_query, k, granularity, segment_span, use_wand
+            )
         else:
             all_terms = sorted({t for _, ts in per_query for t in ts})
             if not (use_wand and granularity == "turn"):

@@ -31,10 +31,20 @@ class TermIterator:
 
     __slots__ = (
         "term", "idf", "info", "nblocks", "firsts", "suffix_ub", "bi", "pos",
-        "ids", "contribs", "exhausted", "k1", "b", "avgdl",
+        "ids", "contribs", "exhausted", "k1", "b", "avgdl", "hi",
     )
 
-    def __init__(self, term: str, idf: float, info: dict, k1: float, b: float, avgdl: float):
+    def __init__(
+        self,
+        term: str,
+        idf: float,
+        info: dict,
+        k1: float,
+        b: float,
+        avgdl: float,
+        lo: int | None = None,
+        hi: int | None = None,
+    ):
         self.term = term
         self.idf = float(idf)
         self.info = info
@@ -44,10 +54,21 @@ class TermIterator:
         # list from block i on (idf > 0 so the multiply preserves the max)
         self.suffix_ub = self.idf * np.maximum.accumulate(info["max_factors"][::-1])[::-1]
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        # [lo, hi) clamp for the per-range distributed WAND path: docs below
+        # lo are skipped at init, reaching a doc >= hi exhausts the iterator.
+        # Bounds stay true upper bounds — clamping only narrows the doc set.
+        self.hi = (1 << 62) if hi is None else int(hi)
         self.bi = 0
         self.exhausted = False
         self._decode_block(0)
         self.pos = 0
+        if lo is not None and not self.exhausted and self.cur_doc < lo:
+            self.advance_to(int(lo))
+        self._check_hi()
+
+    def _check_hi(self) -> None:
+        if not self.exhausted and int(self.ids[self.pos]) >= self.hi:
+            self.exhausted = True
 
     def _decode_block(self, bi: int) -> None:
         ids, tfs, dls = decode_consolidated_block(self.info, bi)
@@ -94,6 +115,7 @@ class TermIterator:
                 self.pos = 0
             else:
                 self.exhausted = True
+        self._check_hi()
 
     def advance_to(self, target: int) -> None:
         """Move to the first posting with doc_id >= target (block skip)."""
@@ -113,18 +135,30 @@ class TermIterator:
             self.pos = 0
         else:
             self.exhausted = True
+        self._check_hi()
 
 
 def block_max_wand(
-    specs: list[tuple[str, float, dict]], k: int, k1: float, b: float, avgdl: float
+    specs: list[tuple[str, float, dict]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    lo: int | None = None,
+    hi: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """-> (doc_ids, scores) top-k, ordered (score desc, doc_id asc).
 
     ``specs``: (term, idf, consolidated-info) in ascending term order; a
     salted hot term contributes several specs (disjoint doc_id sub-lists),
     each its own iterator — a doc is scored by at most one of them, so
-    per-doc accumulation order across TERMS is still ascending-term."""
-    iters = [TermIterator(t, idf, info, k1, b, avgdl) for t, idf, info in specs]
+    per-doc accumulation order across TERMS is still ascending-term.
+
+    ``lo``/``hi`` restrict the traversal to docs in [lo, hi) — the
+    per-range distributed WAND path (state/scorers.py): each RangeScorer
+    runs an independent clamped traversal over block-sliced lists, and the
+    per-range top-k partials merge exactly because ranges are disjoint."""
+    iters = [TermIterator(t, idf, info, k1, b, avgdl, lo, hi) for t, idf, info in specs]
     iters = [it for it in iters if not it.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap; worst on top
 

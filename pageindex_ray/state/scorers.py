@@ -47,13 +47,15 @@ class RangeScorer:
     _DENSE_MAX_RANGE = 64_000_000
 
     def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names,
-                 dense_max_range: int | None = None):
+                 dense_max_range: int | None = None,
+                 k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0):
         self.shards = list(shards)
         self.lo = int(lo)
         self.hi = int(hi)
         self.bases = np.asarray(bases, dtype=np.int64)
         self.names = np.asarray(names, dtype=object)
         self.n = self.hi - self.lo
+        self.k1, self.b, self.avgdl = float(k1), float(b), float(avgdl)
         self.dense = self.n <= (
             dense_max_range if dense_max_range is not None else self._DENSE_MAX_RANGE
         )
@@ -64,6 +66,11 @@ class RangeScorer:
         self._cache: dict[str, list[tuple]] = {}
         self._cache_elems = 0
         self._cache_budget = 64_000_000
+        # per-range WAND path: term -> COMPRESSED block-sliced infos
+        # (separate cache — WAND wants lazy block decode, not dense arrays)
+        self._wand_cache: dict[str, list[dict]] = {}
+        self._wand_bytes = 0
+        self._wand_budget = 256_000_000
 
     def _ensure_terms(self, term_idfs: list[tuple[str, float]]) -> dict[str, list[tuple]]:
         """-> {term: [(local_ids, contrib), ...]} for the query, as a LOCAL
@@ -134,12 +141,41 @@ class RangeScorer:
         uniq, starts = np.unique(ids, return_index=True)
         return uniq, np.add.reduceat(contribs, starts)
 
+    def _ensure_wand_terms(self, term_idfs: list[tuple[str, float]]) -> dict[str, list[dict]]:
+        """Block-sliced compressed infos for the range ([lo, hi) blocks
+        only leave the shards; edge docs are clamped by the traversal)."""
+        local: dict[str, list[dict]] = {}
+        missing = []
+        for t, _ in term_idfs:
+            if t in self._wand_cache:
+                local[t] = self._wand_cache[t]
+            else:
+                missing.append(t)
+        if not missing:
+            return local
+        futures = [s.fetch_blocks_range.remote(missing, self.lo, self.hi) for s in self.shards]
+        fetched: dict[str, list[dict]] = {t: [] for t in missing}
+        for res in ray.get(futures):
+            for t, infos in res.items():
+                fetched[t].extend(infos)
+        for t in missing:
+            infos = sorted(fetched[t], key=lambda i: i["part"])
+            local[t] = infos
+            self._wand_cache[t] = infos
+            for info in infos:
+                self._wand_bytes += len(info["deltas"]) + len(info["tfs"]) + len(info["dls"])
+        if self._wand_bytes > self._wand_budget:
+            self._wand_cache.clear()
+            self._wand_bytes = 0
+        return local
+
     def score_many(
         self,
         queries: list[tuple[int, list[tuple[str, float]]]],
         k: int,
         granularity: str = "turn",
         segment_span: int = 4,
+        use_wand: bool = False,
     ) -> list:
         """Batch form: ONE round-trip scores every query in the set (terms
         are ensured once for the union, then each query accumulates from the
@@ -148,9 +184,12 @@ class RangeScorer:
         union: dict[str, float] = {}
         for _, term_idfs in queries:
             union.update(term_idfs)
-        self._ensure_terms(sorted(union.items()))
+        if use_wand and granularity == "turn":
+            self._ensure_wand_terms(sorted(union.items()))
+        else:
+            self._ensure_terms(sorted(union.items()))
         return [
-            self.score(term_idfs, k, granularity, segment_span)
+            self.score(term_idfs, k, granularity, segment_span, use_wand)
             for _, term_idfs in queries
         ]
 
@@ -160,10 +199,32 @@ class RangeScorer:
         k: int,
         granularity: str = "turn",
         segment_span: int = 4,
+        use_wand: bool = False,
     ):
         """-> (doc_ids, scores) | (conv_names, scores) | (conv_names,
-        seg_starts, scores): this range's top-k under the global tie-break."""
+        seg_starts, scores): this range's top-k under the global tie-break.
+
+        ``use_wand`` (turn granularity only — rollups need every doc's
+        group sum): independent block-max WAND traversal clamped to this
+        range; bounds stay valid because idf * max_factor is
+        range-independent, and disjoint ranges make the merged top-k
+        exact."""
         from ..pipelines.search import topk_from_scores
+
+        if use_wand and granularity == "turn":
+            from ..pipelines.wand import block_max_wand
+
+            infos = self._ensure_wand_terms(term_idfs)
+            idf_of = dict(term_idfs)
+            specs = []
+            for t in sorted(idf_of):
+                for info in infos.get(t, ()):  # part-sorted at fetch
+                    specs.append((t, idf_of[t], info))
+            if not specs:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            return block_max_wand(
+                specs, k, self.k1, self.b, self.avgdl, lo=self.lo, hi=self.hi
+            )
 
         terms = sorted(t for t, _ in term_idfs)
         arrays = self._ensure_terms(term_idfs)
@@ -198,11 +259,14 @@ class RangeScorer:
 
 
 def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int,
-                     dense_max_range: int | None = None):
+                     dense_max_range: int | None = None,
+                     k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0):
     """Create RangeScorer actors over conv-aligned doc ranges of ~equal size.
 
     Ranges split the conversation table (never a conversation), so every
-    rollup granularity stays range-local. Returns the actor list."""
+    rollup granularity stays range-local. k1/b/avgdl feed the per-range
+    WAND traversal (its lazy block decode recomputes factors locally).
+    Returns the actor list."""
     n_convs = len(conv_bases)
     num_scorers = max(1, min(num_scorers, n_convs))
     cut_idx = [(j * n_convs) // num_scorers for j in range(num_scorers + 1)]
@@ -220,7 +284,7 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
         scorers.append(
             RangeScorer.remote(
                 shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object),
-                dense_max_range,
+                dense_max_range, k1, b, avgdl,
             )
         )
     return scorers

@@ -132,6 +132,47 @@ class PostingShard:
                 out[t] = slices
         return out
 
+    def fetch_blocks_range(self, terms: list[str], lo: int, hi: int) -> dict[str, list[dict]]:
+        """COMPRESSED block-granular range slice for the per-range WAND
+        path: only blocks that can contain docs in [lo, hi) leave the shard
+        (zero-copy array views + payload byte slices of the consolidated
+        form — no decode here; WAND's lazy per-block decode stays at the
+        traversal site in the RangeScorer). Edge blocks may carry a few
+        out-of-range docs; the traversal clamps them."""
+        out: dict[str, list[dict]] = {}
+        for t in terms:
+            infos = self.terms.get(t)
+            if infos is None:
+                continue
+            slices = []
+            for info in infos:
+                firsts = info["firsts"]
+                bi = max(int(np.searchsorted(firsts, lo, side="right")) - 1, 0)
+                bj = int(np.searchsorted(firsts, hi, side="left"))
+                if bj <= bi:
+                    continue
+                d_off = info["deltas_off"]
+                t_off = info["tfs_off"]
+                l_off = info["dls_off"]
+                slices.append(
+                    {
+                        "part": info["part"],
+                        "df": info["df"],
+                        "firsts": firsts[bi:bj],
+                        "counts": info["counts"][bi:bj],
+                        "max_factors": info["max_factors"][bi:bj],
+                        "deltas": info["deltas"][d_off[bi] : d_off[bj]],
+                        "tfs": info["tfs"][t_off[bi] : t_off[bj]],
+                        "dls": info["dls"][l_off[bi] : l_off[bj]],
+                        "deltas_off": d_off[bi : bj + 1] - d_off[bi],
+                        "tfs_off": t_off[bi : bj + 1] - t_off[bi],
+                        "dls_off": l_off[bi : bj + 1] - l_off[bi],
+                    }
+                )
+            if slices:
+                out[t] = slices
+        return out
+
     def _scored_term(self, t: str) -> list[dict] | None:
         infos = self.terms.get(t)
         if infos is None:

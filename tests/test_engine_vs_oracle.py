@@ -150,11 +150,14 @@ def test_distributed_scoring_matches_driver(ray_session, built_index):
             b1 = e1.search_batch(queries, k=10, granularity=gran)
             b2 = e2.search_batch(queries, k=10, granularity=gran)
             assert b1.equals(b2), gran
-        # use_wand forces driver-side document-at-a-time scoring even when a
-        # scorer pool exists (fenced, not silently different) — results must
-        # equal the exhaustive paths
+        # use_wand with a scorer pool runs per-range clamped WAND (bounds
+        # are range-independent, ranges disjoint -> exact merge): must equal
+        # BOTH the driver exhaustive result and the driver WAND result
         bw = e2.search_batch(queries, k=10, use_wand=True)
         assert bw.equals(e1.search_batch(queries, k=10))
+        assert bw.equals(e1.search_batch(queries, k=10, use_wand=True))
+        for _, qtext in queries[:10]:
+            assert e2.search(qtext, k=10, use_wand=True) == e1.search(qtext, k=10, use_wand=True)
         import pytest
 
         with pytest.raises(ValueError, match="granularity"):
