@@ -75,7 +75,11 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # only tear down a Ray session this entry point itself started — a
+    # library caller invoking main() inside an existing session must get
+    # their cluster back intact
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -146,7 +150,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             eng.shutdown()
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
     return 0
 
 

@@ -1,0 +1,47 @@
+"""End-to-end CLI surface (python -m pageindex_ray ...) — the ray-job-submit
+entry the README documents. Runs main() IN-PROCESS against the session's
+Ray (main must not tear down a session it didn't start)."""
+
+import json
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def test_cli_build_search_append(ray_session, tiny_corpus, tmp_path, capsys):
+    import ray
+
+    from pageindex_ray.__main__ import main
+
+    src = pq.read_table(tiny_corpus["transcripts"])
+    convs = sorted(set(src.column("conv_id").to_pylist()))
+    cut = convs[2 * len(convs) // 3]
+    p_head = str(tmp_path / "head.parquet")
+    p_tail = str(tmp_path / "tail.parquet")
+    pq.write_table(src.filter(pc.less(src.column("conv_id"), cut)), p_head)
+    pq.write_table(src.filter(pc.greater_equal(src.column("conv_id"), cut)), p_tail)
+
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--input", p_head, "--index", idx, "--partitions", "4"]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_docs"] > 0 and ray.is_initialized()  # session NOT torn down
+
+    assert main(["search", "--index", idx, "--query", "the", "-k", "5", "--scorers", "2"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and hits[0]["rank"] == 0 and "doc_id" in hits[0]
+
+    out = str(tmp_path / "appended")
+    assert main(["append", "--index", idx, "--input", p_tail, "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_waves"] == 2 and rep["n_docs"] == src.num_rows
+
+    assert main(["search", "--index", out, "--query", "the", "--conv", "-k", "3"]) == 0
+    conv_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert conv_hits and "conv_id" in conv_hits[0] and "doc_id" not in conv_hits[0]
+
+    assert main(
+        ["bench-queries", "--index", out, "--queries", tiny_corpus["queries"]]
+    ) == 0
+    bq = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bq["n_queries"] == 50 and bq["p50_ms"] > 0
+    assert ray.is_initialized()
