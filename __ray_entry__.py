@@ -246,6 +246,29 @@ def _q_dedup_minhash(sf_dir: str):
     )
 
 
+def _q_dedup_minhash_cc(sf_dir: str):
+    """Same clusters through the fully-distributed closure path
+    (min-label propagation + pointer doubling, nothing
+    driver-materialized) — value-checked against the identical
+    recursive-CTE oracle as the driver-union-find entry."""
+    import os as _os
+
+    import ray.data
+
+    from pageindex_ray.pipelines.dedup import minhash_dedup
+
+    ensure_sidecars(sf_dir)
+    ds = read_parquet_clean(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return minhash_dedup(
+        ds,
+        jaccard_threshold=sc.MINHASH_THRESHOLD,
+        num_perm=sc.MINHASH_NUM_PERM,
+        num_bands=sc.MINHASH_NUM_BANDS,
+        shingle_k=sc.MINHASH_SHINGLE_K,
+        cc="distributed",
+    )
+
+
 def _q_dedup_simhash(sf_dir: str):
     import os as _os
 
@@ -513,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_cc": _q_dedup_minhash_cc,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "ann_topk": _q_ann_topk,
@@ -588,6 +612,14 @@ WITH base AS (
 """
 
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sqls()
+    # the distributed-closure twin must match the SAME transitive-closure
+    # oracle as the driver-union-find entry (identical clusters by design)
+    sqls["dedup_minhash_cc"] = sqls["dedup_minhash"]
+    return sqls
+
+
+def _oracle_sqls() -> dict[str, str]:
     return {
         "docmap": f"""
             SELECT conv_id, turn_idx,

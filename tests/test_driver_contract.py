@@ -75,7 +75,7 @@ def _oracle_names():
     "top_revenue_orders", "customer_rollup", "events_sessions", "events_by_type",
     "conv_text_fingerprint", "conv_summaries", "conv_salient_summary", "event_type_mode",
     "events_tumbling", "parts_by_brand", "embedding_near_dup",
-    "dedup_minhash", "dedup_simhash", "ann_ivf", "embedding_near_dup_lsh",
+    "dedup_minhash", "dedup_minhash_cc", "dedup_simhash", "ann_ivf", "embedding_near_dup_lsh",
     "bm25_segment_topk", "corpus_curation",
 ])
 def test_query_matches_oracle(ray_session, contract, con, name):
