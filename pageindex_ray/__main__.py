@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     apd.add_argument("--input", required=True, help="new transcripts parquet/dir")
     apd.add_argument("--out", required=True, help="merged output index dir")
 
+    info = sub.add_parser("info", help="inspect a committed index (meta + lineage totals)")
+    info.add_argument("--index", required=True)
+
     s = sub.add_parser("search", help="BM25 top-k against a built index")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -108,6 +111,38 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.merge import append_wave
 
             print(json.dumps(append_wave(args.index, args.input, args.out)))
+        elif args.cmd == "info":
+            import os
+
+            from .pipelines.build import load_meta
+
+            meta = load_meta(args.index)
+            lineage = {"n_terms": 0, "n_postings": 0, "parts": 0}
+            meta_dir = os.path.join(args.index, "_meta")
+            if os.path.isdir(meta_dir):
+                for fn in sorted(os.listdir(meta_dir)):
+                    if fn.startswith("part-") and fn.endswith(".json"):
+                        with open(os.path.join(meta_dir, fn)) as f:
+                            rec = json.load(f)
+                        lineage["n_terms"] += int(rec.get("n_terms", 0))
+                        lineage["n_postings"] += int(rec.get("n_postings", 0))
+                        lineage["parts"] += 1
+            print(
+                json.dumps(
+                    {
+                        "n_docs": meta["n_docs"],
+                        "doc_base": meta.get("doc_base", 0),
+                        "avgdl": meta["avgdl"],
+                        "total_tokens": meta["total_tokens"],
+                        "num_partitions": meta["config"]["num_partitions"],
+                        "parts_present": len(meta.get("parts_present", [])),
+                        "hot_terms": len(meta.get("hot_terms", [])),
+                        "committed": os.path.exists(os.path.join(args.index, "_SUCCESS")),
+                        "merged_from": len(meta.get("merged_from", [])) or None,
+                        "lineage": lineage,
+                    }
+                )
+            )
         elif args.cmd == "search":
             from .pipelines.search import SearchEngine
 

@@ -44,4 +44,9 @@ def test_cli_build_search_append(ray_session, tiny_corpus, tmp_path, capsys):
     ) == 0
     bq = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert bq["n_queries"] == 50 and bq["p50_ms"] > 0
+
+    assert main(["info", "--index", out]) == 0
+    inf = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert inf["n_docs"] == src.num_rows and inf["committed"]
+    assert inf["merged_from"] == 2 and inf["lineage"]["n_postings"] > 0
     assert ray.is_initialized()
