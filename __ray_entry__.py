@@ -324,6 +324,16 @@ def _q_ann_ivf(sf_dir: str):
     ensure_sidecars(sf_dir)
     ids, mat = _embedding_queries(sf_dir, n=sc.IVF_N_QUERIES)
     ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    # persisted build-once index keyed by the SOURCE FILE's identity
+    # (path+size+mtime hash), not just the sf name — two dirs with the same
+    # basename, or a regenerated corpus, must never share a committed index
+    import hashlib as _hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = _hashlib.md5(
+        f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
     out = ivf_ann(
         ds,
         ids,
@@ -332,10 +342,9 @@ def _q_ann_ivf(sf_dir: str):
         n_clusters=sc.IVF_N_CLUSTERS,
         nprobe=sc.IVF_NPROBE,
         sample_rows=sc.IVF_SAMPLE_ROWS,
-        # persisted build-once index: repeated driver calls probe the
-        # committed cluster partitions instead of rescanning the corpus
         index_dir=os.path.join(
-            "/tmp/pageindex_ray_ivf", os.path.basename(os.path.normpath(sf_dir))
+            "/tmp/pageindex_ray_ivf",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}",
         ),
     )
     return out.select(["query_id", "rank", "vec_id"])

@@ -421,16 +421,36 @@ def build_ivf_index(
     import os
     import shutil
 
-    meta_path = os.path.join(index_dir, "meta.json")
-    if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
-        with open(meta_path) as f:
+    import uuid
+
+    want = {
+        "format": _IVF_FORMAT,
+        "n_clusters": int(n_clusters),
+        "sample_rows": int(sample_rows),
+        "seed": int(seed),
+        "iters": int(iters),
+    }
+
+    def _committed_meta():
+        if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+            return None
+        with open(os.path.join(index_dir, "meta.json")) as f:
             meta = json.load(f)
-        if meta.get("format") == _IVF_FORMAT:
+        # reuse ONLY an index built with the identical parameters — a
+        # layout-compatible index fit under different n_clusters/seed would
+        # silently serve stale centroids/assignments
+        if all(meta.get(k) == v for k, v in want.items()):
             return meta
-        shutil.rmtree(index_dir)  # stale on-disk layout: rebuild
-    tmp_dir = index_dir.rstrip("/") + ".tmp"
-    if os.path.isdir(tmp_dir):
-        shutil.rmtree(tmp_dir)
+        return None
+
+    if (meta := _committed_meta()) is not None:
+        return meta
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)  # stale layout or parameters: rebuild
+    # unique staging dir: concurrent builders of the same index_dir must not
+    # clobber each other's half-written files; the loser of the commit race
+    # discards its copy and serves the winner's
+    tmp_dir = f"{index_dir.rstrip('/')}.tmp-{uuid.uuid4().hex}"
     os.makedirs(tmp_dir)
 
     sample = ds.limit(sample_rows).to_pandas()
@@ -466,21 +486,27 @@ def build_ivf_index(
         ),
         os.path.join(tmp_dir, "centroids.parquet"),
     )
-    meta = {
-        "format": _IVF_FORMAT,
-        "n_clusters": int(len(cent)),
-        "dim": int(cent.shape[1]),
-        "sample_rows": sample_rows,
-        "seed": seed,
-        "iters": iters,
-    }
+    # meta carries the REQUESTED params (the reuse key — len(cent) can be
+    # smaller than n_clusters on a tiny corpus) plus the actuals
+    meta = {**want, "n_clusters_actual": int(len(cent)), "dim": int(cent.shape[1])}
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok\n")
+    if (won := _committed_meta()) is not None:
+        # a concurrent builder committed the identical index first — serve
+        # theirs, discard ours
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return won
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
-    os.replace(tmp_dir, index_dir)
+    try:
+        os.replace(tmp_dir, index_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if (won := _committed_meta()) is not None:
+            return won
+        raise
     return meta
 
 

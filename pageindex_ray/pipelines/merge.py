@@ -58,7 +58,18 @@ def _load(index_dir: str) -> dict:
 
 
 def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
-    """Merge committed wave indexes into one index at ``out_dir``."""
+    """Merge committed wave indexes into one NEW index at ``out_dir``.
+
+    ``out_dir`` must not be one of the inputs: the docmap collection step
+    clears ``out_dir/docmap`` before copying from the waves, so an in-place
+    merge would destroy an input's docmap and still commit _SUCCESS."""
+    out_real = os.path.realpath(out_dir)
+    for d in index_dirs:
+        if os.path.realpath(d) == out_real:
+            raise ValueError(
+                f"out_dir {out_dir!r} is also an input wave — merge writes a NEW "
+                "index; merging in place would destroy the input's docmap"
+            )
     t0 = time.perf_counter()
     metas = [_load(d) for d in index_dirs]
     order = np.argsort([m.get("doc_base", 0) for m in metas])
@@ -174,15 +185,25 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                     rebased.append(t.set_column(t.column_names.index("blocks"), "blocks", col))
                 # stable (term, wave) sort: same-term rows become adjacent
                 # with blocks in wave (== global doc) order, so a term's
-                # merged list is a pure offset regrouping of the taken column
+                # merged list is a pure offset regrouping of the taken
+                # column. Ordering stays in C: dictionary-encode the term
+                # column, rank the (small) dictionary with Arrow's string
+                # sort, then stable-argsort the int ranks — no Python-object
+                # string comparisons over the full vocabulary.
+                import pyarrow.compute as pc
+
                 combined = pa.concat_tables(rebased)
-                terms_np = np.asarray(combined.column("term").to_pylist(), dtype=object)
-                order = np.argsort(terms_np, kind="stable")  # concat order == wave order
+                dict_arr = combined.column("term").combine_chunks().dictionary_encode()
+                codes = dict_arr.indices.to_numpy().astype(np.int64)
+                vocab = dict_arr.dictionary
+                rank = np.empty(len(vocab), dtype=np.int64)
+                rank[pc.sort_indices(vocab).to_numpy()] = np.arange(len(vocab))
+                order = np.argsort(rank[codes], kind="stable")  # concat order == wave order
                 combined = combined.take(pa.array(order))
-                terms_sorted = terms_np[order]
-                n = len(terms_sorted)
+                ranks_sorted = rank[codes][order]
+                n = len(ranks_sorted)
                 is_head = np.ones(n, dtype=bool)
-                is_head[1:] = terms_sorted[1:] != terms_sorted[:-1]
+                is_head[1:] = ranks_sorted[1:] != ranks_sorted[:-1]
                 rs = np.flatnonzero(is_head)
                 df_sum = np.add.reduceat(combined.column("df").to_numpy().astype(np.int64), rs)
                 cf_sum = np.add.reduceat(combined.column("cf").to_numpy().astype(np.int64), rs)
@@ -195,7 +216,9 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                 n_terms = len(rs)
                 table = pa.table(
                     {
-                        "term": pa.array(terms_sorted[rs], type=pa.string()),
+                        "term": combined.column("term").combine_chunks().take(
+                            pa.array(rs)
+                        ).cast(pa.string()),
                         "df": pa.array(df_sum, type=pa.int64()),
                         "cf": pa.array(cf_sum, type=pa.int64()),
                         "blocks": merged_blocks,

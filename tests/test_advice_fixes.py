@@ -181,3 +181,52 @@ def test_payload_decoder_codec_hook(ray_session):
         .sort_values("doc_id")
     )
     assert out["decoded"].tolist() == [b"ABC", b""]
+
+
+def test_merge_refuses_in_place_output(ray_session, tiny_corpus, tmp_path):
+    """merge_indexes/append_wave must refuse out_dir == an input wave: the
+    docmap collection clears out_dir/docmap first, so an in-place merge
+    would destroy the input's docmap and still commit."""
+    import pytest
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.merge import append_wave, merge_indexes
+
+    idx = str(tmp_path / "idx")
+    build_index(tiny_corpus["transcripts"], idx, BuildConfig(num_partitions=4))
+    with pytest.raises(ValueError, match="in place"):
+        merge_indexes([idx], idx)
+    with pytest.raises(ValueError, match="in place"):
+        append_wave(idx, tiny_corpus["transcripts"], idx)
+    # the refused call must not have touched the index
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+    assert os.listdir(os.path.join(idx, "docmap"))
+
+
+def test_ivf_rebuilds_on_parameter_change(ray_session, tmp_path):
+    """A committed IVF index is reused ONLY for identical build parameters;
+    a different n_clusters must rebuild, not silently serve stale
+    centroids."""
+    import ray.data
+
+    from pageindex_ray.pipelines.ann import build_ivf_index
+
+    rng = np.random.default_rng(9)
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array([r for r in rng.normal(size=(300, 8)).astype(np.float32)]),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    idx = str(tmp_path / "ivf")
+    m1 = build_ivf_index(ds, idx, n_clusters=4, sample_rows=256)
+    assert m1["n_clusters"] == 4
+    m2 = build_ivf_index(ds, idx, n_clusters=8, sample_rows=256)
+    assert m2["n_clusters"] == 8  # rebuilt, not reused
+    dirs = {d for d in os.listdir(os.path.join(idx, "vectors"))}
+    assert len(dirs) > 4  # the 8-cluster layout is actually on disk
+    m3 = build_ivf_index(ds, idx, n_clusters=8, sample_rows=256)
+    assert m3 == m2  # identical params -> reuse
