@@ -149,6 +149,21 @@ def _q_bm25_topk(sf_dir: str):
         eng.shutdown()
 
 
+def _q_bm25_wand_topk(sf_dir: str):
+    """Block-max WAND scoring (distributed per-range traversal — the
+    scorer pool is forced on) against the SAME golden SQL as the
+    exhaustive entry: pruning must be invisible in the results."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8, num_scorers=4)
+    try:
+        out = eng.search_batch(_load_queries(sf_dir), k=10, use_wand=True)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_bm25_conv_topk(sf_dir: str):
     import pyarrow as pa
 
@@ -535,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_wand_topk": _q_bm25_wand_topk,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
@@ -625,6 +641,8 @@ def oracle_sql() -> dict[str, str]:
     # the distributed-closure twin must match the SAME transitive-closure
     # oracle as the driver-union-find entry (identical clusters by design)
     sqls["dedup_minhash_cc"] = sqls["dedup_minhash"]
+    # WAND pruning must be result-invisible: same golden SQL as exhaustive
+    sqls["bm25_wand_topk"] = sqls["bm25_topk"]
     return sqls
 
 

@@ -67,7 +67,7 @@ def _oracle_names():
 
 
 @pytest.mark.parametrize("name", [
-    "docmap", "corpus_stats", "term_stats", "bm25_topk", "bm25_conv_topk",
+    "docmap", "corpus_stats", "term_stats", "bm25_topk", "bm25_wand_topk", "bm25_conv_topk",
     "role_stats", "doc_tokens", "doc_tokens_bpe", "doc_tokens_bpe2",
     "doc_quality", "doc_langid", "doc_fingerprint",
     "dedup_exact", "dedup_jaccard", "ann_topk", "multimodal_meta",
