@@ -325,3 +325,31 @@ def test_append_wave_matches_monolithic(ray_session, tiny_corpus, tmp_path):
     finally:
         qa.shutdown()
         qm.shutdown()
+
+
+def test_index_content_invariant_to_block_size(ray_session, tiny_corpus, tmp_path):
+    """block_size only changes the physical block split (and WAND bound
+    granularity), never logical postings or any scorer's results — down to
+    the degenerate one-posting-per-block layout."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(tiny_corpus["transcripts"], a, BuildConfig(num_partitions=4, block_size=1))
+    build_index(tiny_corpus["transcripts"], b, BuildConfig(num_partitions=4, block_size=997))
+    assert _postings_content(a) == _postings_content(b)
+
+    qa = SearchEngine(a, num_shards=2, num_scorers=2)
+    qb = SearchEngine(b, num_shards=2)
+    try:
+        qt = pq.read_table(tiny_corpus["queries"])
+        queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+        for wand in (False, True):
+            assert qa.search_batch(queries, k=10, use_wand=wand).equals(
+                qb.search_batch(queries, k=10, use_wand=wand)
+            ), wand
+    finally:
+        qa.shutdown()
+        qb.shutdown()
