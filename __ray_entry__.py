@@ -349,6 +349,16 @@ def _q_ann_ivf(sf_dir: str):
     fp = _hashlib.md5(
         f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
+    # bound the cache: a regenerated corpus gets a new fingerprint — sweep
+    # this sf's superseded index dirs so /tmp doesn't grow one corpus-sized
+    # copy per regeneration (best-effort; the current fp's dir is kept)
+    import glob as _glob
+    import shutil as _shutil
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    for old in _glob.glob(os.path.join("/tmp/pageindex_ray_ivf", f"{base}-*")):
+        if not old.endswith(f"-{fp}") and not old.endswith(".lock"):
+            _shutil.rmtree(old, ignore_errors=True)
     out = ivf_ann(
         ds,
         ids,

@@ -5,8 +5,9 @@ Prints ONE JSON line:
    "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
    "turns_per_sec": ..., "query_p50_ms": ...}
 
---scaling: runs the identical job in two fresh processes (num_cpus=8 and 32)
-on the same input and reports both throughputs + scaling efficiency
+--scaling: runs the identical job in fresh processes at 2, 8 and 32 cpus
+on the same input and reports throughputs + scaling efficiency for the
+2->8 in-regime N->4N proxy and the 8->32 same-box bound
 (BASELINE.md protocol: (tps_hi / tps_lo) / (cpus_hi / cpus_lo) >= 0.8).
 """
 

@@ -417,11 +417,8 @@ def build_ivf_index(
     call, a full corpus scan per batch). Crash-safe commit (tmp dir rename
     with the marker inside, same discipline as pipelines/curation.py).
     Idempotent: an existing committed index is reused."""
+    import fcntl
     import json
-    import os
-    import shutil
-
-    import uuid
 
     want = {
         "format": _IVF_FORMAT,
@@ -432,10 +429,13 @@ def build_ivf_index(
     }
 
     def _committed_meta():
+        try:
+            with open(os.path.join(index_dir, "meta.json")) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
         if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
             return None
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            meta = json.load(f)
         # reuse ONLY an index built with the identical parameters — a
         # layout-compatible index fit under different n_clusters/seed would
         # silently serve stale centroids/assignments
@@ -443,13 +443,42 @@ def build_ivf_index(
             return meta
         return None
 
+    # fast path without the lock: a committed matching index never changes
     if (meta := _committed_meta()) is not None:
         return meta
+    # exclusive advisory lock for the build+commit: concurrent builders of
+    # the same index_dir serialize, so the check-to-commit window is closed
+    # (same-host only — which is exactly where a shared index_dir lives) and
+    # the duplicate corpus-scale build work is skipped outright
+    parent = os.path.dirname(os.path.abspath(index_dir))
+    os.makedirs(parent, exist_ok=True)
+    lock_path = index_dir.rstrip("/") + ".lock"
+    with open(lock_path, "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            return _build_ivf_index_locked(
+                ds, index_dir, want, n_clusters, sample_rows, seed, iters, _committed_meta
+            )
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
+
+
+def _build_ivf_index_locked(
+    ds, index_dir, want, n_clusters, sample_rows, seed, iters, _committed_meta
+):
+    import glob
+    import json
+    import shutil
+    import uuid
+
+    if (meta := _committed_meta()) is not None:
+        return meta  # another builder committed while we waited on the lock
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)  # stale layout or parameters: rebuild
-    # unique staging dir: concurrent builders of the same index_dir must not
-    # clobber each other's half-written files; the loser of the commit race
-    # discards its copy and serves the winner's
+    # reclaim staging dirs a crashed builder left behind (uuid-named, so
+    # nothing else ever matches them), then stage under a fresh unique name
+    for stale in glob.glob(index_dir.rstrip("/") + ".tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp_dir = f"{index_dir.rstrip('/')}.tmp-{uuid.uuid4().hex}"
     os.makedirs(tmp_dir)
 
@@ -493,20 +522,9 @@ def build_ivf_index(
         json.dump(meta, f)
     with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok\n")
-    if (won := _committed_meta()) is not None:
-        # a concurrent builder committed the identical index first — serve
-        # theirs, discard ours
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        return won
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)
-    try:
-        os.replace(tmp_dir, index_dir)
-    except OSError:
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        if (won := _committed_meta()) is not None:
-            return won
-        raise
+    # under the exclusive lock nothing can have (re)created index_dir since
+    # the rmtree above — the rename is the atomic commit
+    os.replace(tmp_dir, index_dir)
     return meta
 
 

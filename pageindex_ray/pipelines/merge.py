@@ -198,9 +198,11 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                 vocab = dict_arr.dictionary
                 rank = np.empty(len(vocab), dtype=np.int64)
                 rank[pc.sort_indices(vocab).to_numpy()] = np.arange(len(vocab))
-                order = np.argsort(rank[codes], kind="stable")  # concat order == wave order
+                rc = rank[codes]
+                order = np.argsort(rc, kind="stable")  # concat order == wave order
+                codes_sorted = codes[order]
                 combined = combined.take(pa.array(order))
-                ranks_sorted = rank[codes][order]
+                ranks_sorted = rc[order]
                 n = len(ranks_sorted)
                 is_head = np.ones(n, dtype=bool)
                 is_head[1:] = ranks_sorted[1:] != ranks_sorted[:-1]
@@ -216,9 +218,9 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                 n_terms = len(rs)
                 table = pa.table(
                     {
-                        "term": combined.column("term").combine_chunks().take(
-                            pa.array(rs)
-                        ).cast(pa.string()),
+                        # head terms via the (small) dictionary: O(n_terms)
+                        # instead of re-materializing the full term column
+                        "term": vocab.take(pa.array(codes_sorted[rs])).cast(pa.string()),
                         "df": pa.array(df_sum, type=pa.int64()),
                         "cf": pa.array(cf_sum, type=pa.int64()),
                         "blocks": merged_blocks,
@@ -326,6 +328,13 @@ def append_wave(
     of re-tokenizing."""
     from .build import build_index, load_meta
 
+    # fail fast BEFORE tokenizing the new wave — merge_indexes would reject
+    # the in-place output anyway, but only after the expensive build
+    if os.path.realpath(out_dir) == os.path.realpath(existing_index_dir):
+        raise ValueError(
+            f"out_dir {out_dir!r} is the existing index — append writes a NEW "
+            "merged index; merging in place would destroy the input's docmap"
+        )
     meta = load_meta(existing_index_dir)
     base = int(meta.get("doc_base", 0)) + int(meta["n_docs"])
     if cfg is None:

@@ -188,7 +188,6 @@ def test_merge_refuses_in_place_output(ray_session, tiny_corpus, tmp_path):
     docmap collection clears out_dir/docmap first, so an in-place merge
     would destroy the input's docmap and still commit."""
     import pytest
-    import pyarrow.parquet as pq
 
     from pageindex_ray.config import BuildConfig
     from pageindex_ray.pipelines.build import build_index
