@@ -188,12 +188,21 @@ def docmap_batch(batch: pa.Table, offsets_ref) -> pa.Table:
     stages.postings — SURVEY.md §2.5 J1), reused by every task the worker
     runs. Tasks, not an actor pool: no spin-up ramp at stage head.
     """
-    from .postings import cached_conv_bases
+    from .postings import cached_conv_bases, cached_conv_lookup
 
-    base_by_conv = cached_conv_bases(offsets_ref)
-    conv = batch.column("conv_id").to_pylist()
     turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-    base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
+    lookup = cached_conv_lookup(offsets_ref)
+    if lookup is not None:
+        # same vectorized S-dtype searchsorted as the emit hot path
+        sarr, bases = lookup
+        conv_s = np.asarray(
+            batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=sarr.dtype
+        )
+        base = bases[np.searchsorted(sarr, conv_s)]
+    else:  # non-ASCII conv ids: per-row dict lookups
+        base_by_conv = cached_conv_bases(offsets_ref)
+        conv = batch.column("conv_id").to_pylist()
+        base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
     doc_id = base + turn
     # doc_len == len(tokenize(text)): count of non-overlapping token-regex
     # matches on the lowercased text — identical to the shared tokenizer.
