@@ -554,6 +554,32 @@ def _q_event_mode(sf_dir: str):
     return event_type_mode(sf_dir)
 
 
+def _q_phrase_search(sf_dir: str):
+    from pageindex_ray.pipelines.phrase import phrase_queries, phrase_search
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        return phrase_search(eng, tpath, phrase_queries(tpath))
+    finally:
+        eng.shutdown()
+
+
+def _q_more_like_this(sf_dir: str):
+    from pageindex_ray.pipelines.mlt import mlt_source_docs, more_like_this
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        return more_like_this(eng, tpath, mlt_source_docs(tpath))
+    finally:
+        eng.shutdown()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "docmap": _q_docmap,
@@ -596,6 +622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "bm25_segment_topk": _q_bm25_segment_topk,
+        "phrase_search": _q_phrase_search,
+        "more_like_this": _q_more_like_this,
     }
 
 
@@ -656,8 +684,93 @@ def oracle_sql() -> dict[str, str]:
     return sqls
 
 
+def _phrase_search_sql(tpath: str = _TPATH, phrases=None) -> str:
+    """Twin of pipelines/phrase.py: token-adjacency containment + the
+    identical non-overlapping occurrence count (replace-based) over the
+    space-joined token string with sentinel spaces."""
+    from pageindex_ray.pipelines.phrase import phrase_queries
+
+    if phrases is None:
+        phrases = phrase_queries(tpath)
+    vals = ", ".join(f"({qid}, ' {text} ')" for qid, text in phrases)
+    return f"""
+        WITH docs AS (
+          SELECT {_TOKS} AS toks,
+                 (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+          FROM read_parquet('{tpath}')
+        ), j AS (
+          SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS jt
+          FROM docs WHERE len(toks) > 0
+        ), q(query_id, p) AS (VALUES {vals})
+        SELECT CAST(q.query_id AS BIGINT) AS query_id,
+               j.doc_id,
+               CAST((length(jt) - length(replace(jt, q.p, ''))) // length(q.p) AS BIGINT) AS n_occ
+        FROM q JOIN j ON contains(j.jt, q.p)
+    """
+
+
+def _more_like_this_sql(tpath: str = _TPATH, sources=None) -> str:
+    """Twin of pipelines/mlt.py: top-5 tf-idf terms of each source doc
+    (salience desc, term asc — the same double expression as engine.idf),
+    then standard BM25 top-10 with the source excluded."""
+    from pageindex_ray.pipelines.mlt import mlt_source_docs
+
+    if sources is None:
+        sources = mlt_source_docs(tpath)
+    vals = ", ".join(f"({qid}, {doc})" for qid, doc in sources)
+    return f"""
+        WITH base AS (
+          SELECT conv_id, turn_idx, {_TOKS} AS toks FROM read_parquet('{tpath}')
+        ), docs AS (
+          SELECT toks, len(toks) AS dl,
+                 (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+          FROM base
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS total FROM docs
+        ), tok AS (
+          SELECT doc_id, dl, unnest(toks) AS term FROM docs
+        ), tf AS (
+          SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+          FROM tok GROUP BY term, doc_id
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), src(query_id, src_doc) AS (VALUES {vals}),
+        srct AS (
+          SELECT s.query_id, s.src_doc, tf.term,
+                 ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * tf.tf AS sal
+          FROM src s
+          JOIN tf ON tf.doc_id = s.src_doc
+          JOIN dft ON dft.term = tf.term
+          CROSS JOIN stats st
+        ),
+        q AS (
+          SELECT query_id, src_doc, term FROM srct
+          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sal DESC, term ASC) <= 5
+        ),
+        scored AS (
+          SELECT q.query_id, any_value(q.src_doc) AS src_doc, tf.doc_id,
+                 sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                      * tf.tf * 2.5
+                      / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+          FROM q
+          JOIN tf ON q.term = tf.term
+          JOIN dft ON dft.term = tf.term
+          CROSS JOIN stats s
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+               doc_id
+        FROM scored
+        WHERE doc_id <> src_doc
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+    """
+
+
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "phrase_search": _phrase_search_sql(),
+        "more_like_this": _more_like_this_sql(),
         "docmap": f"""
             SELECT conv_id, turn_idx,
                    (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id,

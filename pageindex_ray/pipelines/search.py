@@ -203,6 +203,19 @@ class SearchEngine:
     def idf(self, df: int) -> float:
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
+    def term_doc_ids(self, terms: list[str]) -> dict[str, np.ndarray]:
+        """Sorted doc-id array per term (terms absent from the index are
+        absent from the result). Decoded via the shard pool + the engine's
+        term cache — the posting-intersection primitive for phrase search
+        and other boolean-retrieval compositions."""
+        return {t: ids for t, (ids, _) in self._term_arrays(terms).items()}
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global document frequency per term (salted sub-lists summed;
+        absent terms omitted). One light shard round-trip."""
+        self._fetch_dfs(terms)
+        return {t: self._dfs[t] for t in terms if self._dfs.get(t) is not None}
+
     def _term_arrays(self, terms: list[str]) -> dict[str, tuple]:
         """Decoded (doc_ids, contribs) per term via the cache. Salted
         sub-lists are merged (doc-id sort; sub-lists are disjoint by
