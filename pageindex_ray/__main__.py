@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
         "--doc-base", type=int, default=0,
         help="global doc_id of this input's first turn (wave builds; see merge)",
     )
+    b.add_argument(
+        "--tokenizer", default="alnum-lower-v1",
+        help="registered tokenizer spec name (pageindex_ray.tokenizer registry)",
+    )
 
     mg = sub.add_parser("merge", help="merge committed wave indexes into one index")
     mg.add_argument("--waves", nargs="+", required=True, help="wave index dirs (any order)")
@@ -100,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                 block_size=args.block_size,
                 salt_factor=args.salt_factor,
                 reduce_strategy=args.reduce,
+                tokenizer=args.tokenizer,
             )
             report = build_index(args.input, args.index, cfg, doc_base=args.doc_base)
             print(json.dumps(report))

@@ -68,6 +68,11 @@ class BuildConfig:
     packed_budget_bytes: int | None = None
     object_store_fraction: float = 0.5
 
+    # Tokenizer spec name (pageindex_ray/tokenizer.py registry — the
+    # reference's string-keyed backend choice, utils.py:417,427). Persisted
+    # in meta.json; the query engine resolves the SAME spec at serving time.
+    tokenizer: str = "alnum-lower-v1"
+
     # Query engine
     top_k: int = 10
     num_query_shards: int = 8

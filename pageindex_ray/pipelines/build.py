@@ -273,9 +273,10 @@ def estimate_hot_terms(transcripts_path, cfg: BuildConfig, sample_rows: int = 20
     # vectorized df count, token-identical to tokenizer.tokenize: split the
     # lowered text on non-token runs (empties filtered), one distinct-terms
     # pass per row via (row, term) dedup
-    toks = _pc.split_pattern_regex(
-        _pc.fill_null(_pc.utf8_lower(sample.column("text").combine_chunks()), ""),
-        "[^a-z0-9]+",
+    from ..tokenizer import get_tokenizer
+
+    toks = get_tokenizer(getattr(cfg, "tokenizer", "alnum-lower-v1")).arrow_token_lists(
+        _pc.fill_null(sample.column("text").combine_chunks(), "")
     )
     flat = _pc.list_flatten(toks)
     pairs = _pa.table({"row": _pc.list_parent_indices(toks), "term": flat}).filter(
@@ -306,6 +307,10 @@ def build_index(
         stage_t[name] = round(time.perf_counter() - t0, 3)
         return time.perf_counter()
 
+    from ..tokenizer import get_tokenizer
+
+    get_tokenizer(cfg.tokenizer)  # fail fast on an unregistered tokenizer name
+
     os.makedirs(index_dir, exist_ok=True)
 
     # Resolve the reduce strategy FIRST: the docmap transport and the
@@ -324,7 +329,9 @@ def build_index(
     # Direct-reduce recovers total_tokens from the packed docmap runs after
     # emission, so the offsets pass skips its tokenize-count (and its text
     # column read) entirely.
-    offsets = compute_conv_offsets(ds, with_tokens=not docmap_in_emit)
+    offsets = compute_conv_offsets(
+        ds, with_tokens=not docmap_in_emit, tokenizer=cfg.tokenizer
+    )
     t0 = _mark("conv_offsets", t0)
     n_docs = offsets["n_docs"]
     if doc_base:
@@ -422,6 +429,7 @@ def build_index(
                 hot_terms=frozenset(hot_terms),
                 salt_factor=cfg.salt_factor,
                 emit_docmap=need_docmap and docmap_in_emit,
+                tokenizer=cfg.tokenizer,
             ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,

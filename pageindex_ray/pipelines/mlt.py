@@ -73,7 +73,7 @@ def salient_terms(engine, text: str, m: int) -> list[str]:
     """Top-m terms of ``text`` by tf x idf against the engine's corpus
     stats; ties broken by term ascending. Terms absent from the index
     (df unknown) are skipped — they cannot retrieve anything."""
-    toks = tokenize(text)
+    toks = getattr(engine, "tokenize", tokenize)(text)
     if not toks:
         return []
     uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)

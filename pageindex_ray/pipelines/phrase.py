@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 import ray
 
 from pageindex_ray.sources.readers import read_parquet_clean
-from pageindex_ray.tokenizer import tokenize
+from pageindex_ray.tokenizer import get_tokenizer, tokenize
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -86,11 +86,12 @@ class _PhraseVerifier:
     batch, a C-kernel membership mask selects candidate rows and only
     those are tokenized and counted."""
 
-    def __init__(self, cand_ref):
+    def __init__(self, cand_ref, tokenizer: str = "alnum-lower-v1"):
         cand = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
         # keys as 'conv:turn' strings for the vectorized is_in mask
         self.cand: dict[str, list[tuple[int, str, int]]] = cand
         self.keyset = pa.array(sorted(cand.keys()), type=pa.string())
+        self.tokenize = get_tokenizer(tokenizer).tokenize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = pc.binary_join_element_wise(
@@ -108,7 +109,7 @@ class _PhraseVerifier:
         texts = sel.column("text").to_pylist()
         qids, docs, occs = [], [], []
         for key, text in zip(sel_keys, texts):
-            joined = phrase_key(tokenize(text or ""))
+            joined = phrase_key(self.tokenize(text or ""))
             for qid, needle, doc_id in self.cand[key]:
                 c = joined.count(needle)
                 if c:
@@ -132,7 +133,8 @@ def phrase_search(engine, corpus_path: str, phrases: list[tuple[int, str]]) -> p
     was built from. Returns (query_id, doc_id, n_occ) for every document
     containing each phrase at least once.
     """
-    qtoks = {qid: tokenize(text) for qid, text in phrases}
+    tok = getattr(engine, "tokenize", tokenize)
+    qtoks = {qid: tok(text) for qid, text in phrases}
     all_terms = sorted({t for toks in qtoks.values() for t in toks})
     if not all_terms:
         return RESULT_SCHEMA.empty_table()
@@ -174,7 +176,7 @@ def phrase_search(engine, corpus_path: str, phrases: list[tuple[int, str]]) -> p
     cand_ref = ray.put(cand)
     out = ds.map_batches(
         _PhraseVerifier,
-        fn_constructor_args=(cand_ref,),
+        fn_constructor_args=(cand_ref, getattr(engine, "tokenizer_name", "alnum-lower-v1")),
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=(1, 4),

@@ -43,7 +43,6 @@ import ray
 from ..stages.postings import salted_partitions, term_partition
 from ..state.scorers import make_scorer_pool
 from ..state.shards import PostingShard
-from ..tokenizer import tokenize
 from .build import load_meta
 from .wand import block_max_wand
 
@@ -112,6 +111,12 @@ class SearchEngine:
         self.doc_base = int(self.meta.get("doc_base", 0))
         self.num_partitions = self.meta["config"]["num_partitions"]
         self.salt_factor = self.meta["config"].get("salt_factor", 1)
+        # query-side tokenizer = the spec the index was BUILT with (name
+        # persisted in meta; pre-registry metas default to the shared one)
+        from ..tokenizer import get_tokenizer
+
+        self.tokenizer_name = self.meta["config"].get("tokenizer", "alnum-lower-v1")
+        self.tokenize = get_tokenizer(self.tokenizer_name).tokenize
         self.hot_terms = set(self.meta.get("hot_terms", []))
         self.num_shards = min(num_shards, self.num_partitions)
         part_of = [[] for _ in range(self.num_shards)]
@@ -459,7 +464,7 @@ class SearchEngine:
         or "segment" (contiguous ``segment_span``-turn spans — the mid-level
         hierarchy node between turn and conversation, the analogue of the
         reference's interior tree nodes, /root/reference/pageindex/utils.py:354-400)."""
-        terms = sorted(set(tokenize(query_text)))
+        terms = sorted(set(self.tokenize(query_text)))
         if self.scorers:
             # distributed scoring for every mode; use_wand runs a
             # range-clamped per-scorer WAND at turn granularity (rollups
@@ -556,7 +561,7 @@ class SearchEngine:
         """
         if granularity not in ("turn", "conv", "segment"):
             raise ValueError(f"unknown granularity {granularity!r}")
-        per_query = [(qid, sorted(set(tokenize(q)))) for qid, q in queries]
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
         if self.scorers:
             results = self._score_batch_distributed(
                 per_query, k, granularity, segment_span, use_wand

@@ -38,6 +38,7 @@ def compute_conv_offsets(
     ds: "ray.data.Dataset",
     with_tokens: bool = True,
     driver_merge_max_rows: int = 8_000_000,
+    tokenizer: str = "alnum-lower-v1",
 ) -> dict[str, np.ndarray]:
     """Per-conversation (count, min, max of turn_idx) -> validated dense-turn
     contract + exclusive prefix-sum base offsets.
@@ -102,15 +103,17 @@ def compute_conv_offsets(
         merge_aggs.append(("sum_tokens", "sum"))
         merge_map.append(("sum_tokens", "sum_tokens_sum"))
 
+    from ..tokenizer import get_tokenizer
+
+    tok_spec = get_tokenizer(tokenizer)
+
     def partial(batch: pa.Table) -> pa.Table:
         cols = {
             "conv_id": batch.column("conv_id"),
             "turn_idx": batch.column("turn_idx"),
         }
         if with_tokens:
-            cols["n_tok"] = pc.fill_null(
-                pc.count_substring_regex(pc.utf8_lower(batch.column("text")), TOKEN_PATTERN), 0
-            ).cast(pa.int64())
+            cols["n_tok"] = tok_spec.arrow_token_count(batch.column("text")).cast(pa.int64())
         g = pa.table(cols).group_by("conv_id").aggregate(part_aggs)
         return _select(g, part_map)
 
@@ -180,7 +183,7 @@ def compute_conv_offsets(
     return out
 
 
-def docmap_batch(batch: pa.Table, offsets_ref) -> pa.Table:
+def docmap_batch(batch: pa.Table, offsets_ref, tokenizer: str = "alnum-lower-v1") -> pa.Table:
     """Task-based map_batches stage: transcripts batch -> docmap batch.
 
     The conv->base lookup is a broadcast join: put once on the driver,
@@ -208,8 +211,9 @@ def docmap_batch(batch: pa.Table, offsets_ref) -> pa.Table:
     # matches on the lowercased text — identical to the shared tokenizer.
     # Null text tokenizes to [] everywhere else (posting emission, oracle);
     # coalesce the propagated null count to 0 so the docmap agrees.
-    lower = pc.utf8_lower(batch.column("text"))
-    doc_len = pc.fill_null(pc.count_substring_regex(lower, TOKEN_PATTERN), 0)
+    from ..tokenizer import get_tokenizer
+
+    doc_len = get_tokenizer(tokenizer).arrow_token_count(batch.column("text"))
     return pa.table(
         {
             "conv_id": batch.column("conv_id"),
@@ -223,11 +227,12 @@ def docmap_batch(batch: pa.Table, offsets_ref) -> pa.Table:
 class DocMapper:
     """Callable-class form of ``docmap_batch`` (actor-pool API)."""
 
-    def __init__(self, offsets_ref):
+    def __init__(self, offsets_ref, tokenizer: str = "alnum-lower-v1"):
         self.offsets_ref = offsets_ref
+        self.tokenizer = tokenizer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return docmap_batch(batch, self.offsets_ref)
+        return docmap_batch(batch, self.offsets_ref, self.tokenizer)
 
 
 def docmap_dataset(ds: "ray.data.Dataset", offsets_ref) -> "ray.data.Dataset":

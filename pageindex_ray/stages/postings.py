@@ -211,6 +211,7 @@ def emit_postings_batch(
     hot_terms=frozenset(),
     salt_factor: int = 1,
     emit_docmap: bool = False,
+    tokenizer: str = "alnum-lower-v1",
 ) -> pa.Table:
     """Task-based map_batches stage: transcripts batch -> posting rows.
 
@@ -242,12 +243,16 @@ def emit_postings_batch(
 
     # Arrow-native tokenization: lower + regex split + flatten + dictionary
     # encode — all C kernels, no Python token objects. Identical semantics to
-    # tokenizer.tokenize (split on non-alnum, drop empties — the DuckDB-parity
-    # contract tested in test_tokenize_matches_duckdb).
+    # the configured TokenizerSpec's scalar form (split on separator runs,
+    # drop empties — the DuckDB-parity contract tested in
+    # test_tokenize_matches_duckdb); specs are regex-declared precisely so
+    # this stage never needs a per-row Python tokenizer call.
+    from ..tokenizer import get_tokenizer
+
     text_col = batch.column("text")
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
-    lists = pc.split_pattern_regex(pc.utf8_lower(text_col), "[^a-z0-9]+")
+    lists = get_tokenizer(tokenizer).arrow_token_lists(text_col)
     flat = lists.flatten()
     parents = lists.value_parent_indices().to_numpy()
     nonempty = pc.not_equal(flat, "")
@@ -380,17 +385,19 @@ class PostingEmitter:
     """Callable-class form of ``emit_postings_batch`` (actor-pool API)."""
 
     def __init__(self, offsets_ref, num_partitions: int, completed_parts=frozenset(),
-                 hot_terms=frozenset(), salt_factor: int = 1):
+                 hot_terms=frozenset(), salt_factor: int = 1,
+                 tokenizer: str = "alnum-lower-v1"):
         self.offsets_ref = offsets_ref
         self.num_partitions = num_partitions
         self.completed = frozenset(completed_parts)
         self.hot_terms = frozenset(hot_terms)
         self.salt_factor = salt_factor
+        self.tokenizer = tokenizer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return emit_postings_batch(
             batch, self.offsets_ref, self.num_partitions, self.completed,
-            self.hot_terms, self.salt_factor,
+            self.hot_terms, self.salt_factor, tokenizer=self.tokenizer,
         )
 
 
@@ -407,7 +414,7 @@ def stats_fingerprint(n_docs: int, avgdl: float, cfg, hot_terms=()) -> str:
             "num_partitions": cfg.num_partitions,
             "salt_factor": cfg.salt_factor,
             "hot_terms": sorted(hot_terms),
-            "tokenizer": "alnum-lower-v1",
+            "tokenizer": getattr(cfg, "tokenizer", "alnum-lower-v1"),
         },
         sort_keys=True,
     )

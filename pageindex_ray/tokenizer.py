@@ -59,3 +59,123 @@ def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
             flat[pos : pos + n] = toks
             pos += n
     return flat, lengths
+
+
+# ---------------------------------------------------------------------------
+# Pluggable tokenizer registry (SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+#
+# Reference analogue: the ``pdf_parser=`` backend choice
+# (/root/reference/pageindex/utils.py:417,427) — a STRING-keyed selection of
+# the text-extraction backend, so the choice can be persisted in config and
+# resolved identically by every consumer. Here a tokenizer is declared as a
+# regex SPEC rather than a free-form Python callable: the build's hot path
+# tokenizes with Arrow C kernels (utf8_lower + split_pattern_regex /
+# count_substring_regex) and the driver's oracle tokenizes in DuckDB SQL —
+# a spec keeps all three representations (scalar Python, Arrow-vectorized,
+# SQL) derivable from one definition and therefore byte-identical, where an
+# opaque callable would force a per-row Python loop in the emit stage and
+# break oracle parity. Custom tokenizers register a spec
+# (``register_tokenizer``); the chosen NAME is persisted in the index's
+# meta.json and the query engine resolves the same spec at serving time.
+
+from dataclasses import dataclass as _dataclass, field as _field
+
+
+@_dataclass(frozen=True)
+class TokenizerSpec:
+    """One tokenizer in its three equivalent forms.
+
+    ``token_pattern`` matches a single token run (findall / count kernels),
+    ``split_pattern`` matches the inter-token separators (Arrow list-split
+    kernel; empties are filtered) — the two must be complements over the
+    (optionally lowercased) input for the forms to agree.
+    """
+
+    name: str
+    token_pattern: str
+    split_pattern: str
+    lowercase: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "_re", re.compile(self.token_pattern))
+
+    # scalar (query-side, oracle helper, tests)
+    def tokenize(self, text: str) -> list[str]:
+        if not text:
+            return []
+        return self._re.findall(text.lower() if self.lowercase else text)
+
+    # Arrow-vectorized (build hot path): text array -> list<string> of tokens
+    def arrow_token_lists(self, arr):
+        import pyarrow.compute as pc
+
+        if self.lowercase:
+            arr = pc.utf8_lower(arr)
+        return pc.split_pattern_regex(arr, self.split_pattern)
+
+    # Arrow-vectorized token COUNT (docmap doc_len): nulls count as 0
+    def arrow_token_count(self, arr):
+        import pyarrow.compute as pc
+
+        if self.lowercase:
+            arr = pc.utf8_lower(arr)
+        return pc.fill_null(pc.count_substring_regex(arr, self.token_pattern), 0)
+
+    # DuckDB twin producing the identical token list for column `col`
+    def sql(self, col: str) -> str:
+        src = f"lower({col})" if self.lowercase else col
+        return (
+            f"list_filter(string_split_regex({src}, "
+            f"'{self.split_pattern}'), x -> x <> '')"
+        )
+
+
+DEFAULT_TOKENIZER = "alnum-lower-v1"
+
+_REGISTRY: dict[str, TokenizerSpec] = {}
+
+
+def register_tokenizer(spec: TokenizerSpec) -> TokenizerSpec:
+    """Register (or replace) a tokenizer spec under its name."""
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_tokenizer(name: str) -> TokenizerSpec:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown tokenizer {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+# The default spec IS the module-level tokenize()/TOKEN_RE contract above.
+register_tokenizer(
+    TokenizerSpec(
+        name=DEFAULT_TOKENIZER,
+        token_pattern=r"[a-z0-9]+",
+        split_pattern=r"[^a-z0-9]+",
+        lowercase=True,
+    )
+)
+# Whitespace tokenizer: punctuation stays attached to words (the classic
+# "surface form" variant).
+register_tokenizer(
+    TokenizerSpec(
+        name="ws-lower-v1",
+        token_pattern=r"[^ \t\n\r]+",
+        split_pattern=r"[ \t\n\r]+",
+        lowercase=True,
+    )
+)
+# Case-preserving alphanumeric runs.
+register_tokenizer(
+    TokenizerSpec(
+        name="alnum-case-v1",
+        token_pattern=r"[A-Za-z0-9]+",
+        split_pattern=r"[^A-Za-z0-9]+",
+        lowercase=False,
+    )
+)
