@@ -125,13 +125,30 @@ class _PhraseVerifier:
         )
 
 
-def phrase_search(engine, corpus_path: str, phrases: list[tuple[int, str]]) -> pa.Table:
+def phrase_search(
+    engine,
+    corpus_path: str,
+    phrases: list[tuple[int, str]],
+    max_candidates: int = 2_000_000,
+    pushdown_max_convs: int = 100_000,
+) -> pa.Table:
     """Exact-phrase match over an indexed corpus.
 
     ``engine`` is a warm SearchEngine (the shard pool supplies the posting
     intersections); ``corpus_path`` is the transcripts parquet the index
     was built from. Returns (query_id, doc_id, n_occ) for every document
     containing each phrase at least once.
+
+    Scale guards: the candidate map is a DRIVER-side broadcast, so its
+    size is bounded by ``max_candidates`` total (query, doc) pairs — a
+    stopword-only phrase ("of the") intersects to a huge candidate set
+    and raises a clear error instead of silently building a multi-GB
+    broadcast; add a rarer term to the phrase or raise the bound. The
+    conv_id parquet-filter pushdown is applied only while the candidate
+    conversation list stays under ``pushdown_max_convs`` (a pyarrow
+    expression with millions of strings costs more than it prunes);
+    beyond it the verify pass streams the corpus and relies on the
+    per-batch membership mask alone.
     """
     tok = getattr(engine, "tokenize", tokenize)
     qtoks = {qid: tok(text) for qid, text in phrases}
@@ -156,6 +173,15 @@ def phrase_search(engine, corpus_path: str, phrases: list[tuple[int, str]]) -> p
             cand_by_q[qid] = cur
     if not cand_by_q:
         return RESULT_SCHEMA.empty_table()
+    n_cand = sum(len(v) for v in cand_by_q.values())
+    if n_cand > max_candidates:
+        worst = max(cand_by_q, key=lambda q: len(cand_by_q[q]))
+        raise ValueError(
+            f"phrase candidate set too large to broadcast: {n_cand} (query, doc) "
+            f"pairs (limit {max_candidates}); least selective query_id={worst} with "
+            f"{len(cand_by_q[worst])} candidates — add a rarer term to the phrase "
+            "or raise max_candidates"
+        )
 
     # candidate map keyed by 'conv:turn' (the verify stage's mask key)
     cand: dict[str, list[tuple[int, str, int]]] = {}
@@ -168,10 +194,11 @@ def phrase_search(engine, corpus_path: str, phrases: list[tuple[int, str]]) -> p
             cand.setdefault(key, []).append((qid, needle, int(d)))
             convs_needed.add(str(c))
 
+    read_kw = {}
+    if len(convs_needed) <= pushdown_max_convs:
+        read_kw["filter"] = pc.field("conv_id").isin(sorted(convs_needed))
     ds = read_parquet_clean(
-        corpus_path,
-        columns=["conv_id", "turn_idx", "text"],
-        filter=pc.field("conv_id").isin(sorted(convs_needed)),
+        corpus_path, columns=["conv_id", "turn_idx", "text"], **read_kw
     )
     cand_ref = ray.put(cand)
     out = ds.map_batches(

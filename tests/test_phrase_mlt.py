@@ -108,3 +108,13 @@ def test_mlt_matches_duckdb_and_excludes_source(engine, built_index):
     # ranks are dense 0..k-1 per query
     for _, g in ours_t.to_pandas().groupby("query_id"):
         assert sorted(g["rank"]) == list(range(len(g)))
+
+
+def test_phrase_candidate_guard(engine, built_index):
+    """An unselective phrase must raise the broadcast-size guard, not
+    silently build a huge driver-side candidate map."""
+    from pageindex_ray.pipelines.phrase import phrase_queries, phrase_search
+
+    phrases = phrase_queries(built_index["transcripts"], n=4)
+    with pytest.raises(ValueError, match="candidate set too large"):
+        phrase_search(engine, built_index["transcripts"], phrases, max_candidates=1)
