@@ -684,16 +684,24 @@ def oracle_sql() -> dict[str, str]:
     return sqls
 
 
+_SQL_MEMO: dict[tuple, str] = {}
+
+
 def _phrase_search_sql(tpath: str = _TPATH, phrases=None) -> str:
     """Twin of pipelines/phrase.py: token-adjacency containment + the
     identical non-overlapping occurrence count (replace-based) over the
     space-joined token string with sentinel spaces."""
     from pageindex_ray.pipelines.phrase import phrase_queries
 
+    # memoized on the default-phrase branch: oracle_sql() is invoked per
+    # driver-gate query and this derivation reads corpus rows each time
+    memo_key = ("phrase", tpath) if phrases is None else None
+    if memo_key and memo_key in _SQL_MEMO:
+        return _SQL_MEMO[memo_key]
     if phrases is None:
         phrases = phrase_queries(tpath)
     vals = ", ".join(f"({qid}, ' {text} ')" for qid, text in phrases)
-    return f"""
+    sql = f"""
         WITH docs AS (
           SELECT {_TOKS} AS toks,
                  (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
@@ -707,6 +715,9 @@ def _phrase_search_sql(tpath: str = _TPATH, phrases=None) -> str:
                CAST((length(jt) - length(replace(jt, q.p, ''))) // length(q.p) AS BIGINT) AS n_occ
         FROM q JOIN j ON contains(j.jt, q.p)
     """
+    if memo_key:
+        _SQL_MEMO[memo_key] = sql
+    return sql
 
 
 def _more_like_this_sql(tpath: str = _TPATH, sources=None) -> str:
@@ -715,10 +726,13 @@ def _more_like_this_sql(tpath: str = _TPATH, sources=None) -> str:
     then standard BM25 top-10 with the source excluded."""
     from pageindex_ray.pipelines.mlt import mlt_source_docs
 
+    memo_key = ("mlt", tpath) if sources is None else None
+    if memo_key and memo_key in _SQL_MEMO:
+        return _SQL_MEMO[memo_key]
     if sources is None:
         sources = mlt_source_docs(tpath)
     vals = ", ".join(f"({qid}, {doc})" for qid, doc in sources)
-    return f"""
+    sql = f"""
         WITH base AS (
           SELECT conv_id, turn_idx, {_TOKS} AS toks FROM read_parquet('{tpath}')
         ), docs AS (
@@ -765,6 +779,9 @@ def _more_like_this_sql(tpath: str = _TPATH, sources=None) -> str:
         WHERE doc_id <> src_doc
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
     """
+    if memo_key:
+        _SQL_MEMO[memo_key] = sql
+    return sql
 
 
 def _oracle_sqls() -> dict[str, str]:

@@ -391,7 +391,11 @@ def build_index(
             try:
                 t0 = time.perf_counter()
                 ds.map_batches(
-                    partial(docmap_batch, offsets_ref=offsets_ref),
+                    partial(
+                        docmap_batch,
+                        offsets_ref=offsets_ref,
+                        tokenizer=get_tokenizer(cfg.tokenizer),
+                    ),
                     batch_format="pyarrow",
                     batch_size=8192,
                 ).write_parquet(docmap_dir)
@@ -429,7 +433,7 @@ def build_index(
                 hot_terms=frozenset(hot_terms),
                 salt_factor=cfg.salt_factor,
                 emit_docmap=need_docmap and docmap_in_emit,
-                tokenizer=cfg.tokenizer,
+                tokenizer=get_tokenizer(cfg.tokenizer),
             ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -493,8 +497,14 @@ def build_index(
             )
             _mark("emit_shuffle_assemble", t0)
         built_now = len(lineage)
-        built_parts = lineage["part"].astype(int).tolist()
-        stage_t["assemble_cpu_total"] = round(float(lineage["wall_s"].sum()), 3)
+        if built_now:
+            built_parts = lineage["part"].astype(int).tolist()
+            stage_t["assemble_cpu_total"] = round(float(lineage["wall_s"].sum()), 3)
+        else:
+            # a corpus whose tokenizer yields zero tokens everywhere emits no
+            # postings at all: the lineage frame is columnless, the index is
+            # legitimately empty (docmap still written; no parts present)
+            built_parts = []
 
     if docmap_thread is not None:
         docmap_thread.join()

@@ -47,7 +47,9 @@ from ..config import BuildConfig
 from ..stages.codec import varint_decode
 from ..stages.postings import POSTINGS_SCHEMA, stats_fingerprint
 
-_SCORING_KEYS = ("k1", "b", "block_size", "num_partitions", "salt_factor")
+_SCORING_KEYS = ("k1", "b", "block_size", "num_partitions", "salt_factor", "tokenizer")
+# pre-registry metas lack the key; they were all built with the shared default
+_SCORING_DEFAULTS = {"tokenizer": "alnum-lower-v1"}
 
 
 def _load(index_dir: str) -> dict:
@@ -79,8 +81,10 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
     head = metas[0]["config"]
     for m in metas[1:]:
         for k in _SCORING_KEYS:
-            if m["config"][k] != head[k]:
-                raise ValueError(f"wave configs differ on {k}: {m['config'][k]} != {head[k]}")
+            mine = m["config"].get(k, _SCORING_DEFAULTS.get(k))
+            theirs = head.get(k, _SCORING_DEFAULTS.get(k))
+            if mine != theirs:
+                raise ValueError(f"wave configs differ on {k}: {mine} != {theirs}")
     expect = metas[0].get("doc_base", 0)
     for d, m in zip(dirs, metas):
         base = m.get("doc_base", 0)

@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 import ray
 
 from pageindex_ray.sources.readers import read_parquet_clean
-from pageindex_ray.tokenizer import get_tokenizer, tokenize
+from pageindex_ray.tokenizer import resolve_tokenizer, tokenize
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -63,9 +63,26 @@ def phrase_queries(tpath: str, n: int = 12) -> list[tuple[int, str]]:
     Rows with fewer than 4 tokens fall back to their first two tokens and
     rows with fewer than 2 are skipped, so every emitted phrase has at
     least one guaranteed occurrence."""
-    t = pq.read_table(tpath, columns=["text"])
-    texts = t.column("text").to_pylist()
-    n_rows = len(texts)
+    pf = pq.ParquetFile(tpath)
+    n_rows = pf.metadata.num_rows
+    wanted = sorted({(j * n_rows) // n for j in range(n)})
+    # map each global row index to (row group, local offset) and read ONLY
+    # those row groups — O(12 rows), not an O(corpus) text materialization
+    texts: dict[int, str] = {}
+    rg_start = 0
+    it = iter(wanted)
+    nxt = next(it, None)
+    for rg in range(pf.metadata.num_row_groups):
+        rg_rows = pf.metadata.row_group(rg).num_rows
+        locals_ = []
+        while nxt is not None and nxt < rg_start + rg_rows:
+            locals_.append(nxt - rg_start)
+            nxt = next(it, None)
+        if locals_:
+            col = pf.read_row_group(rg, columns=["text"]).column("text")
+            for loc in locals_:
+                texts[rg_start + loc] = col[loc].as_py()
+        rg_start += rg_rows
     out: list[tuple[int, str]] = []
     for j in range(n):
         toks = tokenize(texts[(j * n_rows) // n] or "")
@@ -91,7 +108,7 @@ class _PhraseVerifier:
         # keys as 'conv:turn' strings for the vectorized is_in mask
         self.cand: dict[str, list[tuple[int, str, int]]] = cand
         self.keyset = pa.array(sorted(cand.keys()), type=pa.string())
-        self.tokenize = get_tokenizer(tokenizer).tokenize
+        self.tokenize = resolve_tokenizer(tokenizer).tokenize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = pc.binary_join_element_wise(
@@ -102,11 +119,8 @@ class _PhraseVerifier:
         mask = pc.is_in(keys, value_set=self.keyset)
         if not pc.any(mask).as_py():
             return RESULT_SCHEMA.empty_table()
-        sel = batch.filter(mask)
-        sel_keys = pc.binary_join_element_wise(
-            sel.column("conv_id"), pc.cast(sel.column("turn_idx"), pa.string()), ":"
-        ).to_pylist()
-        texts = sel.column("text").to_pylist()
+        sel_keys = keys.filter(mask).to_pylist()
+        texts = batch.column("text").filter(mask).to_pylist()
         qids, docs, occs = [], [], []
         for key, text in zip(sel_keys, texts):
             joined = phrase_key(self.tokenize(text or ""))
@@ -203,7 +217,7 @@ def phrase_search(
     cand_ref = ray.put(cand)
     out = ds.map_batches(
         _PhraseVerifier,
-        fn_constructor_args=(cand_ref, getattr(engine, "tokenizer_name", "alnum-lower-v1")),
+        fn_constructor_args=(cand_ref, getattr(engine, "tokenizer_spec", "alnum-lower-v1")),
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=(1, 4),

@@ -116,7 +116,8 @@ class SearchEngine:
         from ..tokenizer import get_tokenizer
 
         self.tokenizer_name = self.meta["config"].get("tokenizer", "alnum-lower-v1")
-        self.tokenize = get_tokenizer(self.tokenizer_name).tokenize
+        self.tokenizer_spec = get_tokenizer(self.tokenizer_name)
+        self.tokenize = self.tokenizer_spec.tokenize
         self.hot_terms = set(self.meta.get("hot_terms", []))
         self.num_shards = min(num_shards, self.num_partitions)
         part_of = [[] for _ in range(self.num_shards)]

@@ -31,14 +31,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-TOKEN_PATTERN = "[a-z0-9]+"  # must stay in sync with tokenizer.TOKEN_RE
 
 
 def compute_conv_offsets(
     ds: "ray.data.Dataset",
     with_tokens: bool = True,
     driver_merge_max_rows: int = 8_000_000,
-    tokenizer: str = "alnum-lower-v1",
+    tokenizer="alnum-lower-v1",
 ) -> dict[str, np.ndarray]:
     """Per-conversation (count, min, max of turn_idx) -> validated dense-turn
     contract + exclusive prefix-sum base offsets.
@@ -103,9 +102,9 @@ def compute_conv_offsets(
         merge_aggs.append(("sum_tokens", "sum"))
         merge_map.append(("sum_tokens", "sum_tokens_sum"))
 
-    from ..tokenizer import get_tokenizer
+    from ..tokenizer import resolve_tokenizer
 
-    tok_spec = get_tokenizer(tokenizer)
+    tok_spec = resolve_tokenizer(tokenizer)
 
     def partial(batch: pa.Table) -> pa.Table:
         cols = {
@@ -183,7 +182,7 @@ def compute_conv_offsets(
     return out
 
 
-def docmap_batch(batch: pa.Table, offsets_ref, tokenizer: str = "alnum-lower-v1") -> pa.Table:
+def docmap_batch(batch: pa.Table, offsets_ref, tokenizer="alnum-lower-v1") -> pa.Table:
     """Task-based map_batches stage: transcripts batch -> docmap batch.
 
     The conv->base lookup is a broadcast join: put once on the driver,
@@ -211,9 +210,9 @@ def docmap_batch(batch: pa.Table, offsets_ref, tokenizer: str = "alnum-lower-v1"
     # matches on the lowercased text — identical to the shared tokenizer.
     # Null text tokenizes to [] everywhere else (posting emission, oracle);
     # coalesce the propagated null count to 0 so the docmap agrees.
-    from ..tokenizer import get_tokenizer
+    from ..tokenizer import resolve_tokenizer
 
-    doc_len = get_tokenizer(tokenizer).arrow_token_count(batch.column("text"))
+    doc_len = resolve_tokenizer(tokenizer).arrow_token_count(batch.column("text"))
     return pa.table(
         {
             "conv_id": batch.column("conv_id"),
@@ -227,7 +226,7 @@ def docmap_batch(batch: pa.Table, offsets_ref, tokenizer: str = "alnum-lower-v1"
 class DocMapper:
     """Callable-class form of ``docmap_batch`` (actor-pool API)."""
 
-    def __init__(self, offsets_ref, tokenizer: str = "alnum-lower-v1"):
+    def __init__(self, offsets_ref, tokenizer="alnum-lower-v1"):
         self.offsets_ref = offsets_ref
         self.tokenizer = tokenizer
 

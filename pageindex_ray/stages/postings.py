@@ -211,7 +211,7 @@ def emit_postings_batch(
     hot_terms=frozenset(),
     salt_factor: int = 1,
     emit_docmap: bool = False,
-    tokenizer: str = "alnum-lower-v1",
+    tokenizer="alnum-lower-v1",
 ) -> pa.Table:
     """Task-based map_batches stage: transcripts batch -> posting rows.
 
@@ -247,12 +247,12 @@ def emit_postings_batch(
     # drop empties — the DuckDB-parity contract tested in
     # test_tokenize_matches_duckdb); specs are regex-declared precisely so
     # this stage never needs a per-row Python tokenizer call.
-    from ..tokenizer import get_tokenizer
+    from ..tokenizer import resolve_tokenizer
 
     text_col = batch.column("text")
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
-    lists = get_tokenizer(tokenizer).arrow_token_lists(text_col)
+    lists = resolve_tokenizer(tokenizer).arrow_token_lists(text_col)
     flat = lists.flatten()
     parents = lists.value_parent_indices().to_numpy()
     nonempty = pc.not_equal(flat, "")
@@ -386,7 +386,7 @@ class PostingEmitter:
 
     def __init__(self, offsets_ref, num_partitions: int, completed_parts=frozenset(),
                  hot_terms=frozenset(), salt_factor: int = 1,
-                 tokenizer: str = "alnum-lower-v1"):
+                 tokenizer="alnum-lower-v1"):
         self.offsets_ref = offsets_ref
         self.num_partitions = num_partitions
         self.completed = frozenset(completed_parts)

@@ -79,7 +79,7 @@ def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
 # (``register_tokenizer``); the chosen NAME is persisted in the index's
 # meta.json and the query engine resolves the same spec at serving time.
 
-from dataclasses import dataclass as _dataclass, field as _field
+from dataclasses import dataclass as _dataclass
 
 
 @_dataclass(frozen=True)
@@ -140,6 +140,14 @@ def register_tokenizer(spec: TokenizerSpec) -> TokenizerSpec:
     """Register (or replace) a tokenizer spec under its name."""
     _REGISTRY[spec.name] = spec
     return spec
+
+
+def resolve_tokenizer(t) -> "TokenizerSpec":
+    """Name -> registry lookup; a TokenizerSpec passes through. Stages that
+    run in Ray WORKER processes take the spec OBJECT (cloudpickled with the
+    task), not the name: a custom spec registered on the driver does not
+    exist in a fresh worker's registry."""
+    return t if isinstance(t, TokenizerSpec) else get_tokenizer(t)
 
 
 def get_tokenizer(name: str) -> TokenizerSpec:

@@ -161,3 +161,119 @@ def test_default_build_unchanged_by_registry(ray_session, tmp_path):
         salt_factor = cfg.salt_factor
 
     assert fp_now == stats_fingerprint(100, 12.5, LegacyCfg(), hot_terms=("the",))
+
+
+def test_custom_registered_spec_ships_to_workers(ray_session, tmp_path):
+    """A spec registered ONLY in the driver process must still work in Ray
+    worker processes: stages receive the cloudpickled spec object, not the
+    name (a fresh worker's registry has only the built-ins)."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.search import SearchEngine
+    from pageindex_ray.tokenizer import TokenizerSpec, register_tokenizer
+
+    register_tokenizer(
+        TokenizerSpec(
+            name="test-digits-v1",
+            token_pattern=r"[0-9]+",
+            split_pattern=r"[^0-9]+",
+        )
+    )
+    rows = {
+        "conv_id": ["c0", "c0", "c1"],
+        "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+        "role": ["user", "assistant", "user"],
+        "text": ["item 42 and 7", "no digits here", "42 again: 42"],
+        "tool": pa.array([None] * 3, type=pa.string()),
+        "ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+    }
+    tpath = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table(rows), tpath)
+    idx = str(tmp_path / "idx")
+    build_index(tpath, idx, BuildConfig(num_partitions=4, tokenizer="test-digits-v1"))
+    # only digit runs are tokens: doc_lens 2, 0, 2 (in conv/turn order)
+    dm = pq.read_table(os.path.join(idx, "docmap")).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert dm.column("doc_len").to_pylist() == [2, 0, 2]
+    eng = SearchEngine(idx, num_shards=2)
+    try:
+        assert {h["doc_id"] for h in eng.search("42", k=3)} == {0, 2}
+        assert eng.search("digits", k=3) == []  # words are not tokens here
+    finally:
+        eng.shutdown()
+
+
+def test_sort_groupby_docmap_honors_tokenizer(ray_session, tmp_path):
+    """Finding fix: the sort_groupby transport's separate docmap pass must
+    count doc_len with the CONFIGURED tokenizer, not the default."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.tokenizer import get_tokenizer
+
+    tpath = _mini_corpus(tmp_path)
+    idx = str(tmp_path / "idx")
+    build_index(
+        tpath,
+        idx,
+        BuildConfig(
+            num_partitions=4, tokenizer="ws-lower-v1", reduce_strategy="sort_groupby"
+        ),
+    )
+    dm = pq.read_table(os.path.join(idx, "docmap")).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    spec = get_tokenizer("ws-lower-v1")
+    src = pq.read_table(tpath).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    expect = [len(spec.tokenize(t)) for t in src.column("text").to_pylist()]
+    assert dm.column("doc_len").to_pylist() == expect
+
+
+def test_merge_rejects_tokenizer_mismatch(ray_session, tmp_path):
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index, load_meta
+    from pageindex_ray.pipelines.merge import merge_indexes
+
+    tpath = _mini_corpus(tmp_path)
+    a, b = str(tmp_path / "wa"), str(tmp_path / "wb")
+    build_index(tpath, a, BuildConfig(num_partitions=4))
+    build_index(tpath, b, BuildConfig(num_partitions=4, tokenizer="ws-lower-v1"))
+    # fake wave contiguity so ONLY the tokenizer check can fire
+    import json as _json
+
+    meta_b = load_meta(b)
+    meta_b["doc_base"] = load_meta(a)["n_docs"]
+    with open(os.path.join(b, "meta.json"), "w") as f:
+        _json.dump(meta_b, f)
+    with pytest.raises(ValueError, match="tokenizer"):
+        merge_indexes([a, b], str(tmp_path / "merged"))
+
+
+def test_empty_vocabulary_build_and_serve(ray_session, tmp_path):
+    """A tokenizer that yields zero tokens for every doc produces a
+    legitimately empty index: build commits (docmap intact, no posting
+    parts) and the engine serves empty results instead of crashing."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.search import SearchEngine
+    from pageindex_ray.tokenizer import TokenizerSpec, register_tokenizer
+
+    register_tokenizer(
+        TokenizerSpec(
+            name="test-digits2-v1",
+            token_pattern=r"[0-9]+",
+            split_pattern=r"[^0-9]+",
+        )
+    )
+    tpath = _mini_corpus(tmp_path)  # no digits anywhere
+    idx = str(tmp_path / "idx")
+    build_index(tpath, idx, BuildConfig(num_partitions=4, tokenizer="test-digits2-v1"))
+    dm = pq.read_table(os.path.join(idx, "docmap"))
+    assert set(dm.column("doc_len").to_pylist()) == {0}
+    eng = SearchEngine(idx, num_shards=2)
+    try:
+        assert eng.search("hello 123", k=3) == []
+    finally:
+        eng.shutdown()
