@@ -189,6 +189,24 @@ def _q_bm25_conv_topk(sf_dir: str):
         eng.shutdown()
 
 
+def _q_bm25_conv_max_topk(sf_dir: str):
+    """Conversation rollup under the MAX aggregation flag (best single
+    turn per conversation — SURVEY.md §7.1 item 6's max-or-sum flag)."""
+    import pyarrow as pa
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        out = eng.search_batch(
+            _load_queries(sf_dir), k=10, granularity="conv", agg="max"
+        )
+        return out.select(["query_id", "rank", "conv_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_role_stats(sf_dir: str):
     from pageindex_ray.pipelines.textstats import transcripts_role_stats
 
@@ -588,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_wand_topk": _q_bm25_wand_topk,
         "bm25_conv_topk": _q_bm25_conv_topk,
+        "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -829,6 +848,17 @@ def _oracle_sqls() -> dict[str, str]:
                    CAST(seg_start AS BIGINT) AS seg_start
             FROM seg
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sscore DESC, conv_id ASC, seg_start ASC) <= 10
+        """,
+        "bm25_conv_max_topk": _BM25_CORE + """
+            , conv AS (
+              SELECT query_id, conv_id, max(score) AS cscore
+              FROM scored GROUP BY query_id, conv_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, conv_id ASC) - 1 AS INTEGER) AS rank,
+                   conv_id
+            FROM conv
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, conv_id ASC) <= 10
         """,
         "bm25_conv_topk": _BM25_CORE + """
             , conv AS (

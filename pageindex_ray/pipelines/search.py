@@ -67,6 +67,13 @@ def topk_from_scores(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[order], scores[order]
 
 
+def _check_agg(agg: str, granularity: str) -> None:
+    if agg not in ("sum", "max"):
+        raise ValueError(f"unknown rollup agg {agg!r} (use 'sum' or 'max')")
+    if agg != "sum" and granularity == "turn":
+        raise ValueError("agg applies to conv/segment rollups, not turn granularity")
+
+
 class SearchEngine:
     """Driver-side facade over the PostingShard actor pool.
 
@@ -371,6 +378,7 @@ class SearchEngine:
         granularity: str,
         segment_span: int = 4,
         use_wand: bool = False,
+        agg: str = "sum",
     ) -> list[tuple]:
         """All queries x all range scorers in ONE fan-out round-trip.
         Returns one merged result (or None) per query, in order.
@@ -382,7 +390,7 @@ class SearchEngine:
         if not live:
             return [None] * len(items)
         futures = [
-            s.score_many.remote(live, k, granularity, segment_span, use_wand)
+            s.score_many.remote(live, k, granularity, segment_span, use_wand, agg)
             for s in self.scorers
         ]
         per_scorer = ray.get(futures)
@@ -419,7 +427,8 @@ class SearchEngine:
         d, s = self._exhaustive(arrays)
         return topk_from_scores(d, s, k)
 
-    def _grouped_topk(self, terms: list[str], k: int, granularity: str, segment_span: int):
+    def _grouped_topk(self, terms: list[str], k: int, granularity: str, segment_span: int,
+                      agg: str = "sum"):
         """Driver-path conv/segment rollup -> the same partial tuple shapes
         the distributed scorers return: (names, scores) for "conv",
         (names, seg_starts, scores) for "segment", or None when no term
@@ -430,6 +439,9 @@ class SearchEngine:
             return None
         docs, scores = self._exhaustive(arrays)
         conv_idx = np.searchsorted(self.conv_bases, docs, side="right") - 1
+        # rollup aggregation: "sum" (doc-order accumulation, == oracle sum)
+        # or "max" (order-independent best-turn score per group)
+        red = np.maximum.reduceat if agg == "max" else np.add.reduceat
         if granularity == "segment":
             turn = docs - self.conv_bases[conv_idx]
             seg_start = (turn // segment_span) * segment_span
@@ -438,7 +450,7 @@ class SearchEngine:
             # composite fits int64 while #convs < 2^31 (64M-doc regime).
             key = conv_idx.astype(np.int64) * (1 << 32) + seg_start
             uniq, starts = np.unique(key, return_index=True)
-            seg_scores = np.add.reduceat(scores, starts)
+            seg_scores = red(scores, starts)
             u_conv = (uniq >> 32).astype(np.int64)
             u_seg = (uniq & ((1 << 32) - 1)).astype(np.int64)
             names = self.conv_ids[u_conv]
@@ -446,7 +458,7 @@ class SearchEngine:
             return names[order], u_seg[order], seg_scores[order]
         # docs ascending => per-conv accumulation in doc order (== oracle)
         uniq, starts = np.unique(conv_idx, return_index=True)
-        conv_scores = np.add.reduceat(scores, starts)
+        conv_scores = red(scores, starts)
         names = self.conv_ids[uniq]
         order = np.lexsort((names, -conv_scores))[:k]
         return names[order], conv_scores[order]
@@ -460,18 +472,23 @@ class SearchEngine:
         granularity: str = "turn",
         use_wand: bool = False,
         segment_span: int = 4,
+        agg: str = "sum",
     ) -> list[dict]:
         """granularity: "turn" (doc top-k), "conv" (per-conversation rollup)
         or "segment" (contiguous ``segment_span``-turn spans — the mid-level
         hierarchy node between turn and conversation, the analogue of the
-        reference's interior tree nodes, /root/reference/pageindex/utils.py:354-400)."""
+        reference's interior tree nodes, /root/reference/pageindex/utils.py:354-400).
+        ``agg``: rollup aggregation for conv/segment granularity — "sum"
+        (default; doc-order accumulation) or "max" (best single turn per
+        group; SURVEY.md §7.1 item 6's max-or-sum flag)."""
+        _check_agg(agg, granularity)
         terms = sorted(set(self.tokenize(query_text)))
         if self.scorers:
             # distributed scoring for every mode; use_wand runs a
             # range-clamped per-scorer WAND at turn granularity (rollups
             # always score exhaustively — pruning can't produce group sums)
             res = self._score_batch_distributed(
-                [(0, terms)], k, granularity, segment_span, use_wand
+                [(0, terms)], k, granularity, segment_span, use_wand, agg
             )[0]
             if res is None:
                 return []
@@ -505,7 +522,7 @@ class SearchEngine:
                 for r in range(len(docs))
             ]
         if granularity in ("conv", "segment"):
-            res = self._grouped_topk(terms, k, granularity, segment_span)
+            res = self._grouped_topk(terms, k, granularity, segment_span, agg)
             if res is None:
                 return []
             if granularity == "segment":
@@ -542,7 +559,7 @@ class SearchEngine:
 
     def search_batch(
         self, queries: list[tuple[int, str]], k: int = 10, granularity: str = "turn",
-        use_wand: bool = False, segment_span: int = 4,
+        use_wand: bool = False, segment_span: int = 4, agg: str = "sum",
     ) -> pa.Table:
         """Score a query set; one shard round-trip for ALL queries' terms
         (driver path), or one scorer-pool fan-out for the WHOLE batch
@@ -562,10 +579,11 @@ class SearchEngine:
         """
         if granularity not in ("turn", "conv", "segment"):
             raise ValueError(f"unknown granularity {granularity!r}")
+        _check_agg(agg, granularity)
         per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
         if self.scorers:
             results = self._score_batch_distributed(
-                per_query, k, granularity, segment_span, use_wand
+                per_query, k, granularity, segment_span, use_wand, agg
             )
         else:
             all_terms = sorted({t for _, ts in per_query for t in ts})
@@ -581,7 +599,7 @@ class SearchEngine:
             elif granularity == "turn":
                 res = self._topk_turn(terms, k, use_wand)
             else:
-                res = self._grouped_topk(terms, k, granularity, segment_span)
+                res = self._grouped_topk(terms, k, granularity, segment_span, agg)
             if res is None:
                 continue
             if granularity == "turn":

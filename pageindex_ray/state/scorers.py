@@ -176,6 +176,7 @@ class RangeScorer:
         granularity: str = "turn",
         segment_span: int = 4,
         use_wand: bool = False,
+        agg: str = "sum",
     ) -> list:
         """Batch form: ONE round-trip scores every query in the set (terms
         are ensured once for the union, then each query accumulates from the
@@ -189,7 +190,7 @@ class RangeScorer:
         else:
             self._ensure_terms(sorted(union.items()))
         return [
-            self.score(term_idfs, k, granularity, segment_span, use_wand)
+            self.score(term_idfs, k, granularity, segment_span, use_wand, agg)
             for _, term_idfs in queries
         ]
 
@@ -200,6 +201,7 @@ class RangeScorer:
         granularity: str = "turn",
         segment_span: int = 4,
         use_wand: bool = False,
+        agg: str = "sum",
     ):
         """-> (doc_ids, scores) | (conv_names, scores) | (conv_names,
         seg_starts, scores): this range's top-k under the global tie-break.
@@ -239,10 +241,13 @@ class RangeScorer:
         if granularity == "turn":
             docs = uniq + self.lo
             return topk_from_scores(docs, vals, k)
+        # rollup aggregation: "sum" (doc-order accumulation, == oracle sum)
+        # or "max" (order-independent best-turn score per group)
+        red = np.maximum.reduceat if agg == "max" else np.add.reduceat
         conv_idx = np.searchsorted(self.bases, uniq + self.lo, side="right") - 1
         if granularity == "conv":
             cuniq, starts = np.unique(conv_idx, return_index=True)
-            cscores = np.add.reduceat(vals, starts)
+            cscores = red(vals, starts)
             names = self.names[cuniq]
             order = np.lexsort((names, -cscores))[:k]
             return names[order], cscores[order]
@@ -250,7 +255,7 @@ class RangeScorer:
         seg_start = (turn // segment_span) * segment_span
         key = conv_idx.astype(np.int64) * (1 << 32) + seg_start
         kuniq, starts = np.unique(key, return_index=True)
-        sscores = np.add.reduceat(vals, starts)
+        sscores = red(vals, starts)
         u_conv = (kuniq >> 32).astype(np.int64)
         u_seg = (kuniq & ((1 << 32) - 1)).astype(np.int64)
         names = self.names[u_conv]

@@ -150,6 +150,17 @@ def test_distributed_scoring_matches_driver(ray_session, built_index):
             b1 = e1.search_batch(queries, k=10, granularity=gran)
             b2 = e2.search_batch(queries, k=10, granularity=gran)
             assert b1.equals(b2), gran
+        # max-aggregation rollups: distributed == driver on both rollup
+        # granularities (per-group max is range-local; ranges disjoint)
+        for gran in ("conv", "segment"):
+            bm1 = e1.search_batch(queries, k=10, granularity=gran, agg="max")
+            bm2 = e2.search_batch(queries, k=10, granularity=gran, agg="max")
+            assert bm1.equals(bm2), f"{gran}/max"
+            # max of per-turn scores <= sum (all contribs positive): the two
+            # aggregations must genuinely differ somewhere on this corpus
+            assert not bm1.equals(
+                e1.search_batch(queries, k=10, granularity=gran)
+            ), f"{gran}: max rollup degenerated to sum"
         # use_wand with a scorer pool runs per-range clamped WAND (bounds
         # are range-independent, ranges disjoint -> exact merge): must equal
         # BOTH the driver exhaustive result and the driver WAND result
@@ -266,3 +277,25 @@ def test_cache_eviction_does_not_lose_results(ray_session, built_index):
     finally:
         ref.shutdown()
         tiny.shutdown()
+
+
+def test_conv_max_rollup_matches_brute_force(engine, built_index, oracle_index):
+    """agg='max' conversation rollup == per-turn oracle scores grouped by
+    conv with max, under the (score desc, conv_id asc) tie-break."""
+    from pageindex_ray.oracle.bm25 import score_all
+
+    for qid, qtext in _queries(built_index)[:12]:
+        docs, scores = score_all(oracle_index, qtext)
+        got = engine.search(qtext, k=10, granularity="conv", agg="max")
+        if len(docs) == 0:
+            assert got == []
+            continue
+        best: dict[str, float] = {}
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            conv = str(oracle_index.conv_ids[int(oracle_index.doc_conv[d])])
+            if conv not in best or s > best[conv]:
+                best[conv] = s
+        golden = sorted(best.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert [r["conv_id"] for r in got] == [c for c, _ in golden], (qid, qtext)
+        for r, (_, sc) in zip(got, golden):
+            assert r["score"] == pytest.approx(sc, rel=1e-9)
