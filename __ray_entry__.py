@@ -207,6 +207,27 @@ def _q_bm25_conv_max_topk(sf_dir: str):
         eng.shutdown()
 
 
+def _q_bool_search(sf_dir: str):
+    """Lucene-style boolean retrieval: each query's sorted distinct tokens
+    split into must/should/must_not by the shared classify_tokens rule
+    (pipelines/boolean.py), scored as filtered BM25 on the scorer pool or
+    driver path."""
+    from pageindex_ray.pipelines.boolean import classify_tokens
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        batch = [
+            (qid, *classify_tokens(eng.tokenize(qtext)))
+            for qid, qtext in _load_queries(sf_dir)
+        ]
+        out = eng.boolean_search_batch(batch, k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_role_stats(sf_dir: str):
     from pageindex_ray.pipelines.textstats import transcripts_role_stats
 
@@ -607,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wand_topk": _q_bm25_wand_topk,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
+        "bool_search": _q_bool_search,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -848,6 +870,67 @@ def _oracle_sqls() -> dict[str, str]:
                    CAST(seg_start AS BIGINT) AS seg_start
             FROM seg
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sscore DESC, conv_id ASC, seg_start ASC) <= 10
+        """,
+        "bool_search": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q0 AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), qq AS (
+  SELECT query_id, term,
+         row_number() OVER (PARTITION BY query_id ORDER BY term) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS nt
+  FROM q0
+), qc AS (
+  -- the classify_tokens rule: first 1-2 tokens must, last token must_not
+  -- (only when nt >= 3), middle should. cls: 0=must, 1=should, 2=must_not
+  SELECT query_id, term,
+         CASE WHEN rn <= (CASE WHEN nt >= 4 THEN 2 ELSE 1 END) THEN 0
+              WHEN rn = nt AND nt >= 3 THEN 2
+              ELSE 1 END AS cls,
+         (CASE WHEN nt >= 4 THEN 2 ELSE 1 END) AS n_must
+  FROM qq
+), hits AS (
+  SELECT qc.query_id, tf.doc_id, qc.cls, qc.n_must,
+         ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * tf.tf * 2.5
+           / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl
+                             / (CAST(s.total AS DOUBLE) / s.n))) AS contrib
+  FROM qc
+  JOIN tf ON tf.term = qc.term
+  -- join df through tf (not qc): two equality edges on qc collapse into one
+  -- 2-condition hash join against CROSS_PRODUCT(tf, dft) in DuckDB's plan
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id,
+         sum(CASE WHEN cls < 2 THEN contrib ELSE 0 END) AS score,
+         count(CASE WHEN cls = 0 THEN 1 END) AS must_hits,
+         count(CASE WHEN cls = 2 THEN 1 END) AS not_hits,
+         any_value(n_must) AS n_must
+  FROM hits GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id
+FROM agg
+WHERE must_hits = n_must AND not_hits = 0
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
         """,
         "bm25_conv_max_topk": _BM25_CORE + """
             , conv AS (

@@ -635,6 +635,159 @@ class SearchEngine:
             cols["seg_start"] = pa.array(parts["seg_start"], type=pa.int64())
         return pa.table(cols)
 
+    # ---------------------------------------------------------------- boolean
+
+    def _parse_boolean(self, must, should, must_not):
+        """Tokenize + flatten each clause -> (must_terms, score_terms,
+        mustnot_terms), or None for a contradictory query (a term in both
+        must and must_not matches no document). Score terms = must + should
+        (must terms are scored, Lucene semantics); must_not terms only
+        filter."""
+        def _tok(items):
+            return sorted({t for s in items for t in self.tokenize(s)})
+
+        must_t, should_t, mustnot_t = _tok(must), _tok(should), _tok(must_not)
+        if set(must_t) & set(mustnot_t):
+            return None
+        return must_t, sorted(set(must_t) | set(should_t)), mustnot_t
+
+    def _boolean_topk_driver(self, must_t, score_terms, mustnot_t, k):
+        """Driver-path boolean top-k: one cached-array fetch, membership by
+        searchsorted probes over the sorted posting ids (no set objects)."""
+        arrays = self._term_arrays(sorted(set(score_terms) | set(mustnot_t)))
+        if any(t not in arrays for t in must_t):
+            return None  # a must term absent from the index: no candidates
+        score_arrays = {t: arrays[t] for t in score_terms if t in arrays}
+        if not score_arrays:
+            return None
+        docs, scores = self._exhaustive(score_arrays)
+        keep = np.ones(len(docs), dtype=bool)
+        for t in must_t:
+            ids = arrays[t][0]
+            pos = np.minimum(np.searchsorted(ids, docs), len(ids) - 1)
+            keep &= ids[pos] == docs
+        for t in mustnot_t:
+            if t in arrays and len(arrays[t][0]):
+                ids = arrays[t][0]
+                pos = np.minimum(np.searchsorted(ids, docs), len(ids) - 1)
+                keep &= ids[pos] != docs
+        docs, scores = docs[keep], scores[keep]
+        if not len(docs):
+            return None
+        return topk_from_scores(docs, scores, k)
+
+    def _boolean_batch_distributed(self, parsed, k) -> dict:
+        """One scorer-pool fan-out for the whole boolean batch -> {qid:
+        merged (docs, scores) | None}. Queries whose must term is globally
+        absent never leave the driver."""
+        all_terms = sorted({t for p in parsed for t in set(p[2]) | set(p[3])})
+        self._fetch_dfs(all_terms)
+        live = []
+        for qid, must_t, score_terms, mustnot_t in parsed:
+            if any(self._dfs.get(t) is None for t in must_t):
+                continue
+            score_idfs = [
+                (t, self.idf(self._dfs[t])) for t in score_terms
+                if self._dfs[t] is not None
+            ]
+            if not score_idfs:
+                continue
+            mn_idfs = [
+                (t, self.idf(self._dfs[t])) for t in mustnot_t
+                if self._dfs[t] is not None
+            ]
+            live.append((qid, score_idfs, must_t, mn_idfs))
+        if not live:
+            return {}
+        per_scorer = ray.get([s.boolean_many.remote(live, k) for s in self.scorers])
+        return {
+            qid: self._merge_partials([ps[i] for ps in per_scorer], k, "turn")
+            for i, (qid, _, _, _) in enumerate(live)
+        }
+
+    def _boolean_rows(self, res) -> list[dict]:
+        if res is None:
+            return []
+        docs, scores = res
+        convs, turns = self.doc_location(docs)
+        return [
+            {
+                "rank": r,
+                "doc_id": int(docs[r]),
+                "score": float(scores[r]),
+                "conv_id": str(convs[r]),
+                "turn_idx": int(turns[r]),
+            }
+            for r in range(len(docs))
+        ]
+
+    def boolean_search(self, must=(), should=(), must_not=(), k: int = 10) -> list[dict]:
+        """Lucene-style boolean retrieval at turn granularity: result docs
+        contain EVERY must term and NO must_not term, ranked by the BM25 sum
+        over must + should terms (identical accumulation order / tie-break
+        as ``search``). Each clause is a sequence of strings, tokenized and
+        flattened — callers can pass raw text or single terms. Runs on the
+        scorer pool when it exists (range-local membership masks), on the
+        driver otherwise; both paths are tested equal."""
+        parsed = self._parse_boolean(must, should, must_not)
+        if parsed is None or not parsed[1]:
+            return []
+        must_t, score_terms, mustnot_t = parsed
+        if self.scorers:
+            res = self._boolean_batch_distributed(
+                [(0, must_t, score_terms, mustnot_t)], k
+            ).get(0)
+        else:
+            res = self._boolean_topk_driver(must_t, score_terms, mustnot_t, k)
+        return self._boolean_rows(res)
+
+    def boolean_search_batch(self, queries, k: int = 10) -> pa.Table:
+        """Batch form: ``queries`` is a list of (query_id, must, should,
+        must_not) clause tuples. One scorer-pool fan-out (or one bulk
+        cache-warming fetch on the driver path) serves the whole batch.
+        Output schema: query_id, rank, doc_id, score, conv_id, turn_idx."""
+        parsed_all: list[tuple | None] = []
+        for qid, m, s, mn in queries:
+            p = self._parse_boolean(m, s, mn)
+            parsed_all.append(None if (p is None or not p[1]) else (qid, *p))
+        live = [p for p in parsed_all if p is not None]
+        if self.scorers:
+            by_qid = self._boolean_batch_distributed(live, k)
+            results = [by_qid.get(p[0]) if p else None for p in parsed_all]
+        else:
+            all_terms = sorted({t for p in live for t in set(p[2]) | set(p[3])})
+            self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
+            results = [
+                self._boolean_topk_driver(p[1], p[2], p[3], k) if p else None
+                for p in parsed_all
+            ]
+        qids: list[int] = []
+        ranks: list[int] = []
+        cols: dict[str, list] = defaultdict(list)
+        for p, res in zip(parsed_all, results):
+            if p is None or res is None:
+                continue
+            qid = p[0]
+            docs, scores = res
+            convs, turns = self.doc_location(docs)
+            n = len(docs)
+            cols["doc_id"].extend(docs.tolist())
+            cols["score"].extend(scores.tolist())
+            cols["conv_id"].extend(convs.tolist())
+            cols["turn_idx"].extend(turns.tolist())
+            qids.extend([qid] * n)
+            ranks.extend(range(n))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+                "score": pa.array(cols["score"], type=pa.float64()),
+                "conv_id": pa.array(cols["conv_id"], type=pa.string()),
+                "turn_idx": pa.array(cols["turn_idx"], type=pa.int32()),
+            }
+        )
+
     def doc_location(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         idx = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1
         return self.conv_ids[idx], (doc_ids - self.conv_bases[idx]).astype(np.int32)

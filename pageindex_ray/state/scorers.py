@@ -169,6 +169,73 @@ class RangeScorer:
             self._wand_bytes = 0
         return local
 
+    @staticmethod
+    def _member_mask(local_ids: np.ndarray, slices: list[tuple]) -> np.ndarray | None:
+        """Boolean membership of ``local_ids`` (sorted) in the union of a
+        term's sub-list ids. Sub-lists are disjoint (salted by doc % S) but
+        individually sorted, so one sort of the concat restores order."""
+        if not slices:
+            return None
+        parts = [ids for ids, _ in slices]
+        ids = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+        if not len(ids):
+            return None
+        pos = np.minimum(np.searchsorted(ids, local_ids), len(ids) - 1)
+        return ids[pos] == local_ids
+
+    def boolean_many(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]], list[str], list[tuple[str, float]]]],
+        k: int,
+    ) -> list:
+        """Batch boolean retrieval over this range: each query is
+        (qid, score_idfs, must_terms, mustnot_idfs), with must_terms a
+        subset of the score terms. Docs must contain EVERY must term and NO
+        must_not term; the score is the BM25 sum over the score terms
+        (must + should), accumulated in ascending term order exactly like
+        ``score``. Returns the range-local top-k per query (turn
+        granularity; ranges disjoint -> driver merge is exact).
+
+        must_not terms ride ``_ensure_terms`` with their TRUE idf so the
+        contrib cache stays coherent for later scoring queries — only their
+        ids are read here."""
+        ensure: dict[str, float] = {}
+        for _, score_idfs, _, mustnot_idfs in queries:
+            ensure.update(score_idfs)
+            ensure.update(mustnot_idfs)
+        arrays = self._ensure_terms(sorted(ensure.items()))
+        out = []
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        for _, score_idfs, must_terms, mustnot_idfs in queries:
+            acc = self._accumulate(sorted(t for t, _ in score_idfs), arrays)
+            if acc is None:
+                out.append(empty)
+                continue
+            uniq, vals = acc
+            keep = np.ones(len(uniq), dtype=bool)
+            dead = False
+            for t in must_terms:
+                m = self._member_mask(uniq, arrays.get(t, ()))
+                if m is None:  # term absent from this RANGE: no candidates here
+                    dead = True
+                    break
+                keep &= m
+            if dead:
+                out.append(empty)
+                continue
+            for t, _ in mustnot_idfs:
+                m = self._member_mask(uniq, arrays.get(t, ()))
+                if m is not None:
+                    keep &= ~m
+            uniq, vals = uniq[keep], vals[keep]
+            if not len(uniq):
+                out.append(empty)
+                continue
+            from ..pipelines.search import topk_from_scores
+
+            out.append(topk_from_scores(uniq + self.lo, vals, k))
+        return out
+
     def score_many(
         self,
         queries: list[tuple[int, list[tuple[str, float]]]],

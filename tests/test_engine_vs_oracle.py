@@ -299,3 +299,119 @@ def test_conv_max_rollup_matches_brute_force(engine, built_index, oracle_index):
         assert [r["conv_id"] for r in got] == [c for c, _ in golden], (qid, qtext)
         for r, (_, sc) in zip(got, golden):
             assert r["score"] == pytest.approx(sc, rel=1e-9)
+
+
+def _brute_boolean(oracle_index, must, should, must_not, k=10):
+    """Golden boolean top-k from the oracle postings dict: membership sets
+    for must/must_not, scores from score_all over must+should."""
+    from pageindex_ray.oracle.bm25 import score_all
+
+    docs, scores = score_all(oracle_index, " ".join([*must, *should]))
+    if len(docs) == 0:
+        return []
+    keep = np.ones(len(docs), dtype=bool)
+    empty = np.empty(0, dtype=np.int64)
+    for t in must:
+        keep &= np.isin(docs, oracle_index.postings.get(t, (empty,))[0])
+    for t in must_not:
+        keep &= ~np.isin(docs, oracle_index.postings.get(t, (empty,))[0])
+    docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+def test_boolean_search_matches_brute_force(engine, built_index, oracle_index):
+    """Driver-path boolean retrieval == oracle-postings brute force under
+    the classify_tokens driver-gate rule; must_not must genuinely exclude
+    docs somewhere on this corpus."""
+    from pageindex_ray.pipelines.boolean import classify_tokens
+
+    nonempty = 0
+    for qid, qtext in _queries(built_index):
+        must, should, must_not = classify_tokens(tokenize(qtext))
+        if not (must or should):
+            continue
+        got = engine.boolean_search(must=must, should=should, must_not=must_not, k=10)
+        golden = _brute_boolean(oracle_index, must, should, must_not)
+        assert [r["doc_id"] for r in got] == [d for d, _ in golden], (qid, must, must_not)
+        for r, (_, sc) in zip(got, golden):
+            assert r["score"] == pytest.approx(sc, rel=1e-9)
+        nonempty += bool(golden)
+    assert nonempty >= 10
+
+
+def test_boolean_negation_bites(engine, built_index, oracle_index):
+    """Constructed case where must_not demonstrably changes the result: take
+    a plain query's #1 doc, must_not one of its terms the #2 doc lacks —
+    the old #1 must vanish and the remainder must match brute force."""
+    import pyarrow.dataset as pads
+
+    qtext = next(q for _, q in _queries(built_index) if engine.search(q, k=2))
+    top = engine.search(qtext, k=10)
+    assert len(top) >= 2
+    dm = pads.dataset(built_index["index_dir"] + "/docmap").to_table()
+    src = pq.read_table(built_index["transcripts"])
+    text_of = {
+        (c, t): x
+        for c, t, x in zip(
+            src.column("conv_id").to_pylist(),
+            src.column("turn_idx").to_pylist(),
+            src.column("text").to_pylist(),
+        )
+    }
+    t1 = set(tokenize(text_of[(top[0]["conv_id"], top[0]["turn_idx"])]))
+    t2 = set(tokenize(text_of[(top[1]["conv_id"], top[1]["turn_idx"])]))
+    neg = sorted(t1 - t2 - set(tokenize(qtext)))[0]  # in doc1, not doc2, not scored
+    got = engine.boolean_search(should=[qtext], must_not=[neg], k=10)
+    got_ids = [r["doc_id"] for r in got]
+    assert top[0]["doc_id"] not in got_ids
+    assert got_ids and got_ids[0] == top[1]["doc_id"]
+    golden = _brute_boolean(oracle_index, [], sorted(set(tokenize(qtext))), [neg])
+    assert got_ids == [d for d, _ in golden]
+
+
+def test_boolean_edge_cases(engine):
+    # contradiction: same term must and must_not
+    assert engine.boolean_search(must=["the"], must_not=["the"]) == []
+    # absent must term kills the query even with live should terms
+    assert engine.boolean_search(must=["zzzabsent"], should=["the"]) == []
+    # empty clauses
+    assert engine.boolean_search() == []
+    # should-only == plain search (no filters)
+    plain = engine.search("the", k=10)
+    should_only = engine.boolean_search(should=["the"], k=10)
+    assert [r["doc_id"] for r in should_only] == [r["doc_id"] for r in plain]
+    # must-only: every hit contains the term; scores = plain single-term
+    must_only = engine.boolean_search(must=["the"], k=10)
+    assert [r["doc_id"] for r in must_only] == [r["doc_id"] for r in plain]
+
+
+def test_boolean_distributed_matches_driver(ray_session, built_index):
+    """Scorer-pool boolean (RangeScorer.boolean_many) must be bit-identical
+    to the driver path, single and batch forms."""
+    from pageindex_ray.pipelines.boolean import classify_tokens
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    e1 = SearchEngine(built_index["index_dir"], num_shards=2)
+    e2 = SearchEngine(built_index["index_dir"], num_shards=2, num_scorers=3)
+    try:
+        assert e2.scorers and not e1.scorers
+        batch = []
+        for qid, qtext in _queries(built_index):
+            must, should, must_not = classify_tokens(tokenize(qtext))
+            batch.append((qid, must, should, must_not))
+            r1 = e1.boolean_search(must=must, should=should, must_not=must_not, k=10)
+            r2 = e2.boolean_search(must=must, should=should, must_not=must_not, k=10)
+            assert r1 == r2, (qid, must, must_not)
+        b1 = e1.boolean_search_batch(batch, k=10)
+        b2 = e2.boolean_search_batch(batch, k=10)
+        assert b1.equals(b2)
+        # batch == singles on the driver path
+        rows = []
+        for qid, must, should, must_not in batch:
+            for r in e1.boolean_search(must=must, should=should, must_not=must_not, k=10):
+                rows.append((qid, r["rank"], r["doc_id"]))
+        assert [(r["query_id"], r["rank"], r["doc_id"]) for r in b1.to_pylist()] == rows
+    finally:
+        e1.shutdown()
+        e2.shutdown()
