@@ -57,6 +57,16 @@ def _ensure_index(sf_dir: str):
     return idx
 
 
+def _ensure_attrs(sf_dir: str) -> str:
+    """Index + role/tool attribute sidecar (resumable via its own marker)."""
+    from pageindex_ray.pipelines.attrs import build_attrs
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    build_attrs(idx, tpath, columns=("role", "tool"))
+    return idx
+
+
 def _load_queries(sf_dir: str) -> list[tuple[int, str]]:
     import pyarrow.parquet as pq
 
@@ -224,6 +234,34 @@ def _q_bool_search(sf_dir: str):
         ]
         out = eng.boolean_search_batch(batch, k=10)
         return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def _q_bm25_filtered_topk(sf_dir: str):
+    """Attribute-filtered BM25 (pipelines/attrs.py): candidates restricted
+    to role='user' turns; scoring stats (idf, avgdl) stay corpus-global —
+    Lucene filter semantics."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_attrs(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        out = eng.search_batch(_load_queries(sf_dir), k=10, where={"role": "user"})
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def _q_facet_counts(sf_dir: str):
+    """Per-query facet histogram over the role attribute: matching docs
+    (>= 1 query term) counted per role value."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_attrs(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        return eng.facet_counts_batch(_load_queries(sf_dir), "role")
     finally:
         eng.shutdown()
 
@@ -629,6 +667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
+        "bm25_filtered_topk": _q_bm25_filtered_topk,
+        "facet_counts": _q_facet_counts,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -931,6 +971,69 @@ SELECT query_id,
 FROM agg
 WHERE must_hits = n_must AND not_hits = 0
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "bm25_filtered_topk": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT role, toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, dl, role, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(dl) AS dl, any_value(role) AS role, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), scored AS (
+  -- filter on the DOC attribute only; df/avgdl stay corpus-global (Lucene
+  -- filter semantics, identical to the engine's non-scoring where= mask)
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl
+                                / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  WHERE tf.role = 'user'
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "facet_counts": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT role, toks,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), tok AS (
+  SELECT doc_id, role, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(role) AS role FROM tok GROUP BY term, doc_id
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), m AS (
+  SELECT DISTINCT q.query_id, tf.doc_id, tf.role
+  FROM q JOIN tf ON q.term = tf.term
+)
+SELECT query_id, role AS value, count(*) AS n_docs
+FROM m GROUP BY query_id, role
         """,
         "bm25_conv_max_topk": _BM25_CORE + """
             , conv AS (

@@ -72,6 +72,19 @@ def main(argv: list[str] | None = None) -> int:
         "--scorers", default="auto",
         help="doc-range scorer pool size (int) or 'auto' (engages at >=1M docs)",
     )
+    s.add_argument(
+        "--where", nargs="+", metavar="COL=VALUE", default=None,
+        help="attribute filter clauses (needs the attrs sidecar; AND across clauses)",
+    )
+
+    at = sub.add_parser(
+        "attrs", help="build the attribute sidecar (filtered retrieval / facets)"
+    )
+    at.add_argument("--index", required=True, help="committed index dir")
+    at.add_argument("--input", required=True, help="the transcripts the index was built from")
+    at.add_argument(
+        "--columns", nargs="+", default=["role"], help="attribute columns to index"
+    )
 
     q = sub.add_parser("bench-queries", help="p50 latency over a query parquet")
     q.add_argument("--index", required=True)
@@ -148,6 +161,10 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "attrs":
+            from .pipelines.attrs import build_attrs
+
+            print(json.dumps(build_attrs(args.index, args.input, tuple(args.columns))))
         elif args.cmd == "search":
             from .pipelines.search import SearchEngine
 
@@ -160,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
                 granularity=gran,
                 use_wand=args.wand,
                 segment_span=args.segment or 4,
+                where=dict(w.split("=", 1) for w in args.where) if args.where else None,
             )
             print(json.dumps(hits))
             eng.shutdown()

@@ -43,6 +43,7 @@ import ray
 from ..stages.postings import salted_partitions, term_partition
 from ..state.scorers import make_scorer_pool
 from ..state.shards import PostingShard
+from .attrs import AttrStore, attrs_dir_of, membership_mask, normalize_where
 from .build import load_meta
 from .wand import block_max_wand
 
@@ -162,10 +163,26 @@ class SearchEngine:
                 num_scorers = min(16, cpus)
             else:
                 num_scorers = 0
+        # optional attribute sidecar (pipelines/attrs.py): enables where=
+        # filters and facet counts. A sidecar built against a different
+        # corpus/config would silently mis-filter — refuse it loudly.
+        self.attrs: AttrStore | None = None
+        adir = attrs_dir_of(index_dir)
+        if os.path.exists(os.path.join(adir, "_SUCCESS")):
+            store = AttrStore(adir)
+            if store.meta.get("fingerprint") != self.meta["fingerprint"]:
+                raise ValueError(
+                    f"attrs sidecar at {adir} was built for a different index "
+                    "(fingerprint mismatch): rebuild it with build_attrs()"
+                )
+            self.attrs = store
+        self._attrs_dir = adir if self.attrs is not None else None
+        # (col, values) -> global sorted doc-id array (driver filter path)
+        self._attr_ids: dict[tuple, np.ndarray] = {}
         self.scorers = (
             make_scorer_pool(
                 self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers,
-                k1=self.k1, b=self.b, avgdl=self.avgdl,
+                k1=self.k1, b=self.b, avgdl=self.avgdl, attrs_dir=self._attrs_dir,
             )
             if num_scorers > 0
             else []
@@ -345,6 +362,24 @@ class SearchEngine:
         self._fetch_dfs(terms)
         return [(t, self.idf(self._dfs[t])) for t in terms if self._dfs[t] is not None]
 
+    # ----------------------------------------------------------- attr filters
+
+    def _where_ids(self, col: str, values: tuple[str, ...]) -> np.ndarray:
+        """Global sorted doc-id array for one normalized where clause,
+        cached. Driver path only — scorers load their own [lo, hi) slices."""
+        key = (col, values)
+        if key not in self._attr_ids:
+            self._attr_ids[key] = self.attrs.ids_for(col, values)
+        return self._attr_ids[key]
+
+    def _apply_where(self, docs: np.ndarray, scores: np.ndarray, where_norm):
+        """AND of membership masks, one per clause (clauses are few; each
+        mask is a vectorized searchsorted probe)."""
+        keep = np.ones(len(docs), dtype=bool)
+        for col, values in where_norm:
+            keep &= membership_mask(self._where_ids(col, values), docs)
+        return docs[keep], scores[keep]
+
     @staticmethod
     def _merge_partials(partials: list, k: int, granularity: str):
         """Merge per-range top-k partials; ranges are disjoint so the global
@@ -379,6 +414,7 @@ class SearchEngine:
         segment_span: int = 4,
         use_wand: bool = False,
         agg: str = "sum",
+        where_norm=(),
     ) -> list[tuple]:
         """All queries x all range scorers in ONE fan-out round-trip.
         Returns one merged result (or None) per query, in order.
@@ -390,7 +426,7 @@ class SearchEngine:
         if not live:
             return [None] * len(items)
         futures = [
-            s.score_many.remote(live, k, granularity, segment_span, use_wand, agg)
+            s.score_many.remote(live, k, granularity, segment_span, use_wand, agg, where_norm)
             for s in self.scorers
         ]
         per_scorer = ray.get(futures)
@@ -415,7 +451,7 @@ class SearchEngine:
                 specs.append((t, idf, info))
         return specs
 
-    def _topk_turn(self, terms: list[str], k: int, use_wand: bool):
+    def _topk_turn(self, terms: list[str], k: int, use_wand: bool, where_norm=()):
         if use_wand:
             specs = self._wand_specs(terms)
             if not specs:
@@ -425,10 +461,14 @@ class SearchEngine:
         if not arrays:
             return None
         d, s = self._exhaustive(arrays)
+        if where_norm:
+            d, s = self._apply_where(d, s, where_norm)
+            if not len(d):
+                return None
         return topk_from_scores(d, s, k)
 
     def _grouped_topk(self, terms: list[str], k: int, granularity: str, segment_span: int,
-                      agg: str = "sum"):
+                      agg: str = "sum", where_norm=()):
         """Driver-path conv/segment rollup -> the same partial tuple shapes
         the distributed scorers return: (names, scores) for "conv",
         (names, seg_starts, scores) for "segment", or None when no term
@@ -438,6 +478,12 @@ class SearchEngine:
         if not arrays:
             return None
         docs, scores = self._exhaustive(arrays)
+        if where_norm:
+            # filter BEFORE the rollup: a group's score sums only its
+            # filter-surviving turns (same semantics as the SQL twin)
+            docs, scores = self._apply_where(docs, scores, where_norm)
+            if not len(docs):
+                return None
         conv_idx = np.searchsorted(self.conv_bases, docs, side="right") - 1
         # rollup aggregation: "sum" (doc-order accumulation, == oracle sum)
         # or "max" (order-independent best-turn score per group)
@@ -473,6 +519,7 @@ class SearchEngine:
         use_wand: bool = False,
         segment_span: int = 4,
         agg: str = "sum",
+        where: dict | None = None,
     ) -> list[dict]:
         """granularity: "turn" (doc top-k), "conv" (per-conversation rollup)
         or "segment" (contiguous ``segment_span``-turn spans — the mid-level
@@ -480,15 +527,24 @@ class SearchEngine:
         reference's interior tree nodes, /root/reference/pageindex/utils.py:354-400).
         ``agg``: rollup aggregation for conv/segment granularity — "sum"
         (default; doc-order accumulation) or "max" (best single turn per
-        group; SURVEY.md §7.1 item 6's max-or-sum flag)."""
+        group; SURVEY.md §7.1 item 6's max-or-sum flag).
+        ``where``: attribute filter, e.g. ``{"role": "user"}`` or
+        ``{"role": ["user", "assistant"]}`` — docs must match every clause
+        (AND across columns, IN within one). Requires the attrs sidecar
+        (pipelines/attrs.py); non-scoring, Lucene-filter semantics (idf /
+        avgdl stay corpus-global). Incompatible with use_wand (pruning
+        bounds ignore the mask — raises rather than silently falling back)."""
         _check_agg(agg, granularity)
+        where_norm = normalize_where(where, self.attrs)
+        if where_norm and use_wand:
+            raise ValueError("use_wand does not support where= filters; use exhaustive scoring")
         terms = sorted(set(self.tokenize(query_text)))
         if self.scorers:
             # distributed scoring for every mode; use_wand runs a
             # range-clamped per-scorer WAND at turn granularity (rollups
             # always score exhaustively — pruning can't produce group sums)
             res = self._score_batch_distributed(
-                [(0, terms)], k, granularity, segment_span, use_wand, agg
+                [(0, terms)], k, granularity, segment_span, use_wand, agg, where_norm
             )[0]
             if res is None:
                 return []
@@ -522,7 +578,7 @@ class SearchEngine:
                 for r in range(len(docs))
             ]
         if granularity in ("conv", "segment"):
-            res = self._grouped_topk(terms, k, granularity, segment_span, agg)
+            res = self._grouped_topk(terms, k, granularity, segment_span, agg, where_norm)
             if res is None:
                 return []
             if granularity == "segment":
@@ -541,7 +597,7 @@ class SearchEngine:
                 {"rank": r, "conv_id": str(names[r]), "score": float(scores[r])}
                 for r in range(len(names))
             ]
-        res = self._topk_turn(terms, k, use_wand)
+        res = self._topk_turn(terms, k, use_wand, where_norm)
         if res is None:
             return []
         docs, scores = res
@@ -560,6 +616,7 @@ class SearchEngine:
     def search_batch(
         self, queries: list[tuple[int, str]], k: int = 10, granularity: str = "turn",
         use_wand: bool = False, segment_span: int = 4, agg: str = "sum",
+        where: dict | None = None,
     ) -> pa.Table:
         """Score a query set; one shard round-trip for ALL queries' terms
         (driver path), or one scorer-pool fan-out for the WHOLE batch
@@ -580,10 +637,13 @@ class SearchEngine:
         if granularity not in ("turn", "conv", "segment"):
             raise ValueError(f"unknown granularity {granularity!r}")
         _check_agg(agg, granularity)
+        where_norm = normalize_where(where, self.attrs)
+        if where_norm and use_wand:
+            raise ValueError("use_wand does not support where= filters; use exhaustive scoring")
         per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
         if self.scorers:
             results = self._score_batch_distributed(
-                per_query, k, granularity, segment_span, use_wand, agg
+                per_query, k, granularity, segment_span, use_wand, agg, where_norm
             )
         else:
             all_terms = sorted({t for _, ts in per_query for t in ts})
@@ -597,9 +657,9 @@ class SearchEngine:
             if results is not None:
                 res = results[i]
             elif granularity == "turn":
-                res = self._topk_turn(terms, k, use_wand)
+                res = self._topk_turn(terms, k, use_wand, where_norm)
             else:
-                res = self._grouped_topk(terms, k, granularity, segment_span, agg)
+                res = self._grouped_topk(terms, k, granularity, segment_span, agg, where_norm)
             if res is None:
                 continue
             if granularity == "turn":
@@ -634,6 +694,81 @@ class SearchEngine:
         elif granularity == "segment":
             cols["seg_start"] = pa.array(parts["seg_start"], type=pa.int64())
         return pa.table(cols)
+
+    # ------------------------------------------------------------------ facets
+
+    def _facet_values(self, col: str) -> list[str]:
+        cache = getattr(self, "_facet_values_cache", None)
+        if cache is None:
+            cache = self._facet_values_cache = {}
+        if col not in cache:
+            cache[col] = self.attrs.values_of(col)
+        return cache[col]
+
+    def facet_counts_batch(self, queries: list[tuple[int, str]], col: str) -> pa.Table:
+        """Per-query facet histogram: for every query, the number of MATCHING
+        docs (>= 1 query term) per value of attribute ``col``. Zero-count
+        values are omitted. One scorer-pool fan-out (or one bulk term fetch)
+        serves the whole batch. Output: query_id, value, n_docs — sorted by
+        (query_id, value)."""
+        if self.attrs is None:
+            raise ValueError(
+                "facet counts require an attribute sidecar: run build_attrs() first"
+            )
+        values = self._facet_values(col)
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        if self.scorers:
+            self._fetch_dfs(sorted({t for _, ts in per_query for t in ts}))
+            items = [(qid, self._term_idfs(ts)) for qid, ts in per_query]
+            live = [(qid, tidfs) for qid, tidfs in items if tidfs]
+            counts_by_qid: dict[int, np.ndarray] = {}
+            if live:
+                per_scorer = ray.get(
+                    [s.facet_many.remote(live, col, values) for s in self.scorers]
+                )
+                for i, (qid, _) in enumerate(live):
+                    counts_by_qid[qid] = np.sum([ps[i] for ps in per_scorer], axis=0)
+        else:
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            self._term_arrays(all_terms)
+            counts_by_qid = {}
+            for qid, terms in per_query:
+                arrays = self._term_arrays(terms)
+                if not arrays:
+                    continue
+                docs = np.unique(np.concatenate([ids for ids, _ in arrays.values()]))
+                counts_by_qid[qid] = np.asarray(
+                    [
+                        int(membership_mask(self._where_ids(col, (v,)), docs).sum())
+                        for v in values
+                    ],
+                    dtype=np.int64,
+                )
+        qids, vals, counts = [], [], []
+        for qid, _ in per_query:
+            c = counts_by_qid.get(qid)
+            if c is None:
+                continue
+            for vi, v in enumerate(values):  # values pre-sorted by AttrStore
+                if c[vi] > 0:
+                    qids.append(qid)
+                    vals.append(v)
+                    counts.append(int(c[vi]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "value": pa.array(vals, type=pa.string()),
+                "n_docs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    def facet_counts(self, query_text: str, col: str) -> list[dict]:
+        """Single-query form of ``facet_counts_batch``."""
+        t = self.facet_counts_batch([(0, query_text)], col)
+        return [
+            {"value": v, "n_docs": n}
+            for v, n in zip(t.column("value").to_pylist(), t.column("n_docs").to_pylist())
+        ]
 
     # ---------------------------------------------------------------- boolean
 

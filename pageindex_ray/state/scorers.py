@@ -48,10 +48,18 @@ class RangeScorer:
 
     def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names,
                  dense_max_range: int | None = None,
-                 k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0):
+                 k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
+                 attrs_dir: str | None = None):
         self.shards = list(shards)
         self.lo = int(lo)
         self.hi = int(hi)
+        # attribute sidecar (pipelines/attrs.py): each scorer loads ONLY its
+        # [lo, hi) slice of a filter clause's doc ids (parquet row-group
+        # pruning on the sidecar's lo/hi bound columns) — per-scorer filter
+        # state is O(its docs), the 100-TB-safe shape
+        self._attrs_dir = attrs_dir
+        self._attr_store = None
+        self._attr_cache: dict[tuple, np.ndarray] = {}
         self.bases = np.asarray(bases, dtype=np.int64)
         self.names = np.asarray(names, dtype=object)
         self.n = self.hi - self.lo
@@ -169,6 +177,29 @@ class RangeScorer:
             self._wand_bytes = 0
         return local
 
+    def _attr_local_ids(self, col: str, values: tuple[str, ...]) -> np.ndarray:
+        """Range-local (0-based) sorted doc ids matching one where clause,
+        loaded lazily and cached per (col, values)."""
+        key = (col, values)
+        ids = self._attr_cache.get(key)
+        if ids is None:
+            if self._attr_store is None:
+                from ..pipelines.attrs import AttrStore
+
+                self._attr_store = AttrStore(self._attrs_dir)
+            ids = self._attr_store.ids_for(col, values, self.lo, self.hi) - self.lo
+            self._attr_cache[key] = ids
+        return ids
+
+    def _where_keep(self, uniq: np.ndarray, where_norm) -> np.ndarray:
+        """AND of membership masks over range-local candidate ids."""
+        from ..pipelines.attrs import membership_mask
+
+        keep = np.ones(len(uniq), dtype=bool)
+        for col, values in where_norm:
+            keep &= membership_mask(self._attr_local_ids(col, values), uniq)
+        return keep
+
     @staticmethod
     def _member_mask(local_ids: np.ndarray, slices: list[tuple]) -> np.ndarray | None:
         """Boolean membership of ``local_ids`` (sorted) in the union of a
@@ -244,6 +275,7 @@ class RangeScorer:
         segment_span: int = 4,
         use_wand: bool = False,
         agg: str = "sum",
+        where=(),
     ) -> list:
         """Batch form: ONE round-trip scores every query in the set (terms
         are ensured once for the union, then each query accumulates from the
@@ -257,9 +289,44 @@ class RangeScorer:
         else:
             self._ensure_terms(sorted(union.items()))
         return [
-            self.score(term_idfs, k, granularity, segment_span, use_wand, agg)
+            self.score(term_idfs, k, granularity, segment_span, use_wand, agg, where)
             for _, term_idfs in queries
         ]
+
+    def facet_many(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        col: str,
+        values: list[str],
+    ) -> list[np.ndarray]:
+        """Per-query counts of this range's MATCHING docs (>= 1 query term)
+        per attribute value, aligned to ``values``. Ranges are disjoint, so
+        the driver's element-wise sum over scorers is the global histogram."""
+        from ..pipelines.attrs import membership_mask
+
+        union: dict[str, float] = {}
+        for _, term_idfs in queries:
+            union.update(term_idfs)
+        arrays = self._ensure_terms(sorted(union.items()))
+        value_ids = [self._attr_local_ids(col, (v,)) for v in values]
+        out = []
+        for _, term_idfs in queries:
+            parts = [
+                ids
+                for t, _ in term_idfs
+                for ids, _ in arrays.get(t, ())
+            ]
+            if not parts:
+                out.append(np.zeros(len(values), dtype=np.int64))
+                continue
+            docs = np.unique(np.concatenate(parts))
+            out.append(
+                np.asarray(
+                    [int(membership_mask(vi, docs).sum()) for vi in value_ids],
+                    dtype=np.int64,
+                )
+            )
+        return out
 
     def score(
         self,
@@ -269,6 +336,7 @@ class RangeScorer:
         segment_span: int = 4,
         use_wand: bool = False,
         agg: str = "sum",
+        where=(),
     ):
         """-> (doc_ids, scores) | (conv_names, scores) | (conv_names,
         seg_starts, scores): this range's top-k under the global tie-break.
@@ -277,7 +345,10 @@ class RangeScorer:
         group sum): independent block-max WAND traversal clamped to this
         range; bounds stay valid because idf * max_factor is
         range-independent, and disjoint ranges make the merged top-k
-        exact."""
+        exact. ``where`` (normalized clauses from pipelines/attrs.py) masks
+        candidates range-locally BEFORE top-k / rollup — the engine fences
+        the where+WAND combination, so the filter only meets the
+        exhaustive path here."""
         from ..pipelines.search import topk_from_scores
 
         if use_wand and granularity == "turn":
@@ -305,6 +376,15 @@ class RangeScorer:
                 return np.empty(0, object), np.empty(0, np.float64)
             return np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.float64)
         uniq, vals = acc
+        if where:
+            keep = self._where_keep(uniq, where)
+            uniq, vals = uniq[keep], vals[keep]
+            if not len(uniq):
+                if granularity == "turn":
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                if granularity == "conv":
+                    return np.empty(0, object), np.empty(0, np.float64)
+                return np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.float64)
         if granularity == "turn":
             docs = uniq + self.lo
             return topk_from_scores(docs, vals, k)
@@ -332,7 +412,8 @@ class RangeScorer:
 
 def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int,
                      dense_max_range: int | None = None,
-                     k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0):
+                     k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
+                     attrs_dir: str | None = None):
     """Create RangeScorer actors over conv-aligned doc ranges of ~equal size.
 
     Ranges split the conversation table (never a conversation), so every
@@ -356,7 +437,7 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
         scorers.append(
             RangeScorer.remote(
                 shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object),
-                dense_max_range, k1, b, avgdl,
+                dense_max_range, k1, b, avgdl, attrs_dir,
             )
         )
     return scorers
