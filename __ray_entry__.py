@@ -266,6 +266,49 @@ def _q_facet_counts(sf_dir: str):
         eng.shutdown()
 
 
+def _q_prefix_search(sf_dir: str):
+    """Wildcard retrieval: per query, the first 4 chars of its
+    lexicographically-first distinct token become the prefix pattern;
+    dictionary expansion capped to the 64 highest-df terms, scored as a
+    plain multi-term query. Queries with no tokens are skipped — same rule
+    in the SQL twin."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        items = []
+        for qid, text in _load_queries(sf_dir):
+            toks = sorted(set(eng.tokenize(text)))
+            if toks:
+                items.append((qid, toks[0][:4]))
+        out = eng.prefix_search_batch(items, k=10, max_expansions=64)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def _q_fuzzy_search(sf_dir: str):
+    """Fuzzy retrieval: per query, its lexicographically-first distinct
+    token of length >= 5 expands to all dictionary terms within Levenshtein
+    distance 1 (cap 64 by df), scored as a multi-term query. Queries with
+    no such token are skipped — same rule in the SQL twin."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        items = []
+        for qid, text in _load_queries(sf_dir):
+            cands = [t for t in sorted(set(eng.tokenize(text))) if len(t) >= 5]
+            if cands:
+                items.append((qid, cands[0]))
+        out = eng.fuzzy_search_batch(items, k=10, max_expansions=64)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_role_stats(sf_dir: str):
     from pageindex_ray.pipelines.textstats import transcripts_role_stats
 
@@ -669,6 +712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_search": _q_bool_search,
         "bm25_filtered_topk": _q_bm25_filtered_topk,
         "facet_counts": _q_facet_counts,
+        "prefix_search": _q_prefix_search,
+        "fuzzy_search": _q_fuzzy_search,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -970,6 +1015,103 @@ SELECT query_id,
        doc_id
 FROM agg
 WHERE must_hits = n_must AND not_hits = 0
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "prefix_search": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qp AS (
+  -- the engine's pattern rule: first 4 chars of the lexicographically
+  -- first distinct token; token-less queries drop out (pfx IS NULL)
+  SELECT query_id,
+         substr(list_sort(list_distinct({SQL_TOKENIZE.format(col='text')}))[1], 1, 4) AS pfx
+  FROM read_parquet('{_QPATH}')
+), ex AS (
+  SELECT qp.query_id, dft.term,
+         row_number() OVER (PARTITION BY qp.query_id
+                            ORDER BY dft.df DESC, dft.term ASC) AS rn
+  FROM qp JOIN dft ON starts_with(dft.term, qp.pfx)
+), exq AS (
+  SELECT query_id, term FROM ex WHERE rn <= 64
+), scored AS (
+  SELECT exq.query_id, tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl
+                                / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+  FROM exq
+  JOIN tf ON exq.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY exq.query_id, tf.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "fuzzy_search": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qt AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS t
+  FROM read_parquet('{_QPATH}')
+), qp AS (
+  -- the engine's pattern rule: lexicographically first distinct token of
+  -- length >= 5; queries with none drop out
+  SELECT query_id, min(t) AS qterm FROM qt WHERE length(t) >= 5 GROUP BY query_id
+), ex AS (
+  SELECT qp.query_id, dft.term,
+         row_number() OVER (PARTITION BY qp.query_id
+                            ORDER BY dft.df DESC, dft.term ASC) AS rn
+  FROM qp JOIN dft ON levenshtein(dft.term, qp.qterm) <= 1
+), exq AS (
+  SELECT query_id, term FROM ex WHERE rn <= 64
+), scored AS (
+  SELECT exq.query_id, tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl
+                                / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+  FROM exq
+  JOIN tf ON exq.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY exq.query_id, tf.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id
+FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
         """,
         "bm25_filtered_topk": f"""

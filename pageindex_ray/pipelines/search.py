@@ -534,11 +534,29 @@ class SearchEngine:
         (pipelines/attrs.py); non-scoring, Lucene-filter semantics (idf /
         avgdl stay corpus-global). Incompatible with use_wand (pruning
         bounds ignore the mask — raises rather than silently falling back)."""
+        return self.search_terms(
+            sorted(set(self.tokenize(query_text))),
+            k, granularity, use_wand, segment_span, agg, where,
+        )
+
+    def search_terms(
+        self,
+        terms: list[str],
+        k: int = 10,
+        granularity: str = "turn",
+        use_wand: bool = False,
+        segment_span: int = 4,
+        agg: str = "sum",
+        where: dict | None = None,
+    ) -> list[dict]:
+        """Pre-analyzed form of ``search``: score an explicit term list
+        (each term with its own idf, summed like any multi-term query) —
+        the scoring primitive behind prefix_search / fuzzy_search."""
         _check_agg(agg, granularity)
         where_norm = normalize_where(where, self.attrs)
         if where_norm and use_wand:
             raise ValueError("use_wand does not support where= filters; use exhaustive scoring")
-        terms = sorted(set(self.tokenize(query_text)))
+        terms = sorted(set(terms))
         if self.scorers:
             # distributed scoring for every mode; use_wand runs a
             # range-clamped per-scorer WAND at turn granularity (rollups
@@ -634,13 +652,25 @@ class SearchEngine:
           conv:    query_id, rank, conv_id, score
           segment: query_id, rank, conv_id, seg_start, score
         """
+        return self.search_terms_batch(
+            [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries],
+            k, granularity, use_wand, segment_span, agg, where,
+        )
+
+    def search_terms_batch(
+        self, items: list[tuple[int, list[str]]], k: int = 10, granularity: str = "turn",
+        use_wand: bool = False, segment_span: int = 4, agg: str = "sum",
+        where: dict | None = None,
+    ) -> pa.Table:
+        """Pre-analyzed batch form of ``search_batch`` (same output schema):
+        each item is (query_id, term list)."""
         if granularity not in ("turn", "conv", "segment"):
             raise ValueError(f"unknown granularity {granularity!r}")
         _check_agg(agg, granularity)
         where_norm = normalize_where(where, self.attrs)
         if where_norm and use_wand:
             raise ValueError("use_wand does not support where= filters; use exhaustive scoring")
-        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        per_query = [(qid, sorted(set(ts))) for qid, ts in items]
         if self.scorers:
             results = self._score_batch_distributed(
                 per_query, k, granularity, segment_span, use_wand, agg, where_norm
@@ -769,6 +799,78 @@ class SearchEngine:
             {"value": v, "n_docs": n}
             for v, n in zip(t.column("value").to_pylist(), t.column("n_docs").to_pylist())
         ]
+
+    # -------------------------------------------------------- term expansion
+
+    def _expand_batch(self, method: str, args: list[str], max_expansions: int) -> list[list[str]]:
+        """One shard-pool round-trip expands every pattern against the term
+        dictionary; global df = sum of shard-local dfs (each sub-list of a
+        salted term lives in exactly one shard). Cap: the ``max_expansions``
+        highest-df terms, ties by term asc — Lucene's top-terms rewrite,
+        mirrored by the SQL twins' row_number() over (df DESC, term ASC)."""
+        if not args:
+            return []
+        per_shard = ray.get([getattr(s, method).remote(args) for s in self.shards])
+        out = []
+        for i in range(len(args)):
+            sums: dict[str, int] = defaultdict(int)
+            for ps in per_shard:
+                for t, df in ps[i].items():
+                    sums[t] += df
+            for t, df in sums.items():
+                self._dfs[t] = df  # these ARE the global dfs: warm the cache
+            ranked = sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))[:max_expansions]
+            out.append(sorted(t for t, _ in ranked))
+        return out
+
+    def expand_prefix_terms(self, prefix: str, max_expansions: int = 64) -> list[str]:
+        """Dictionary terms starting with ``prefix`` (sorted), capped to the
+        ``max_expansions`` highest-df."""
+        if not prefix:
+            raise ValueError("empty prefix would expand the whole vocabulary")
+        return self._expand_batch("expand_prefix", [prefix], max_expansions)[0]
+
+    def expand_fuzzy_terms(self, term: str, max_expansions: int = 64) -> list[str]:
+        """Dictionary terms within Levenshtein distance 1 of ``term``
+        (including itself if present), capped like expand_prefix_terms."""
+        if not term:
+            raise ValueError("empty fuzzy pattern")
+        return self._expand_batch("expand_edit1", [term], max_expansions)[0]
+
+    def prefix_search(self, prefix: str, k: int = 10, max_expansions: int = 64,
+                      **search_kw) -> list[dict]:
+        """Wildcard retrieval ``prefix*``: expand against the dictionary,
+        then score the expanded set as a plain multi-term query (each term
+        with its own idf — the exact-SQL-twinable semantics; Lucene's
+        constant-score rewrite is a scoring choice away)."""
+        return self.search_terms(self.expand_prefix_terms(prefix, max_expansions), k, **search_kw)
+
+    def fuzzy_search(self, term: str, k: int = 10, max_expansions: int = 64,
+                     **search_kw) -> list[dict]:
+        """Fuzzy retrieval (edit distance <= 1): expand + multi-term score."""
+        return self.search_terms(self.expand_fuzzy_terms(term, max_expansions), k, **search_kw)
+
+    def prefix_search_batch(self, items: list[tuple[int, str]], k: int = 10,
+                            max_expansions: int = 64, **search_kw) -> pa.Table:
+        """Batch form: ONE expansion round-trip + ONE scoring fan-out for
+        the whole (query_id, prefix) set."""
+        if any(not p for _, p in items):
+            raise ValueError("empty prefix would expand the whole vocabulary")
+        expanded = self._expand_batch(
+            "expand_prefix", [p for _, p in items], max_expansions
+        )
+        return self.search_terms_batch(
+            [(qid, ts) for (qid, _), ts in zip(items, expanded)], k, **search_kw
+        )
+
+    def fuzzy_search_batch(self, items: list[tuple[int, str]], k: int = 10,
+                           max_expansions: int = 64, **search_kw) -> pa.Table:
+        expanded = self._expand_batch(
+            "expand_edit1", [t for _, t in items], max_expansions
+        )
+        return self.search_terms_batch(
+            [(qid, ts) for (qid, _), ts in zip(items, expanded)], k, **search_kw
+        )
 
     # ---------------------------------------------------------------- boolean
 

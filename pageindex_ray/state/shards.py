@@ -74,9 +74,121 @@ class PostingShard:
         self._scored: dict[str, list[dict]] = {}
         self._cache_elems = 0
         self._cache_budget = 256_000_000
+        # lazy vocabulary-scan structures (prefix / fuzzy expansion)
+        self._vocab_sorted: list[str] | None = None
+        self._edit_buckets: dict[int, tuple] | None = None
+        self._edit_odd: list[str] = []
 
     def num_terms(self) -> int:
         return len(self.terms)
+
+    # ------------------------------------------------------- term expansion
+
+    def _local_df(self, t: str) -> int:
+        return int(sum(i["df"] for i in self.terms[t]))
+
+    def _vocab(self) -> list[str]:
+        if self._vocab_sorted is None:
+            self._vocab_sorted = sorted(self.terms)
+        return self._vocab_sorted
+
+    def expand_prefix(self, prefixes: list[str]) -> list[dict[str, int]]:
+        """Per prefix: this shard's dictionary terms starting with it ->
+        shard-local df (caller sums across shards for the global df). A
+        binary search over the sorted vocabulary + a contiguous scan of the
+        match range — O(log V + matches) per prefix, built once per actor."""
+        import bisect
+
+        vocab = self._vocab()
+        out = []
+        for p in prefixes:
+            i = bisect.bisect_left(vocab, p)
+            hits: dict[str, int] = {}
+            while i < len(vocab) and vocab[i].startswith(p):
+                hits[vocab[i]] = self._local_df(vocab[i])
+                i += 1
+            out.append(hits)
+        return out
+
+    def _ensure_edit_buckets(self):
+        """Length-bucketed byte matrices over the vocabulary (single-byte
+        terms only; multi-byte UTF-8 terms fall back to the scalar check).
+        Built once per actor on first fuzzy query. Scale note: this is a
+        full-vocabulary structure — at 10^8+ terms/shard the deletion-
+        neighborhood (SymSpell) index would replace the linear bucket scan;
+        the bucket scan is the vectorized baseline."""
+        if self._edit_buckets is None:
+            by_len: dict[int, list[str]] = {}
+            odd: list[str] = []
+            for t in self.terms:
+                if len(t.encode("utf-8")) != len(t):
+                    odd.append(t)
+                elif len(t):
+                    by_len.setdefault(len(t), []).append(t)
+            self._edit_buckets = {
+                L: (
+                    # 1-byte-per-char terms are pure ASCII by construction
+                    np.frombuffer("".join(ts).encode(), dtype=np.uint8).reshape(len(ts), L),
+                    ts,
+                )
+                for L, ts in by_len.items()
+            }
+            self._edit_odd = odd
+        return self._edit_buckets, self._edit_odd
+
+    @staticmethod
+    def _lev1(a: str, b: str) -> bool:
+        """levenshtein(a, b) <= 1 (substitution/insert/delete), scalar."""
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # lb == la + 1: b has one extra char
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    def expand_edit1(self, queries: list[str]) -> list[dict[str, int]]:
+        """Per query term: dictionary terms within Levenshtein distance 1
+        (including the term itself) -> shard-local df. Vectorized over
+        length buckets: equal length = <=1 byte mismatch; length +-1 = the
+        lcp+lcs >= shorter-length identity (one pass each way, no DP)."""
+        buckets, odd = self._ensure_edit_buckets()
+        out = []
+        for q in queries:
+            hits: dict[str, int] = {}
+            M = len(q)
+            if M and len(q.encode("utf-8")) == M:
+                qb = np.frombuffer(q.encode(), dtype=np.uint8)
+                for L in (M - 1, M, M + 1):
+                    entry = buckets.get(L)
+                    if entry is None:
+                        continue
+                    mat, ts = entry
+                    if L == M:
+                        sel = (mat != qb).sum(axis=1) <= 1
+                    elif L == M + 1:  # delete one char of the candidate
+                        lcp = np.cumprod(mat[:, :M] == qb, axis=1).sum(axis=1)
+                        lcs = np.cumprod((mat[:, 1:] == qb)[:, ::-1], axis=1).sum(axis=1)
+                        sel = (lcp + lcs) >= M
+                    else:  # L == M - 1: delete one char of the query
+                        lcp = np.cumprod(mat == qb[:L], axis=1).sum(axis=1)
+                        lcs = np.cumprod((mat == qb[1:])[:, ::-1], axis=1).sum(axis=1)
+                        sel = (lcp + lcs) >= L
+                    for i in np.flatnonzero(sel):
+                        hits[ts[i]] = self._local_df(ts[i])
+                cand_odd = odd
+            else:  # non-single-byte query: scalar scan of the whole vocab
+                cand_odd = list(self.terms)
+            for t in cand_odd:
+                if self._lev1(q, t):
+                    hits[t] = self._local_df(t)
+            out.append(hits)
+        return out
 
     def fetch_dfs(self, terms: list[str]) -> dict[str, int]:
         """Shard-local df per term (sum over this shard's sub-lists; the
