@@ -309,6 +309,25 @@ def _q_fuzzy_search(sf_dir: str):
         eng.shutdown()
 
 
+def _q_snippets(sf_dir: str):
+    """Keyword-in-context snippets over each query's BM25 top-10: anchor =
+    rarest matched term (df asc, term asc), snippet = the 11-token window
+    around its first occurrence, hydrated from the doc_id-sorted
+    stored-fields store (pipelines/stored.py) — no corpus scan at query
+    time."""
+    from pageindex_ray.pipelines.search import SearchEngine
+    from pageindex_ray.pipelines.stored import build_stored_fields
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    build_stored_fields(idx, tpath, columns=("text",))
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        return eng.snippets_batch(_load_queries(sf_dir), k=10, window=5)
+    finally:
+        eng.shutdown()
+
+
 def _q_role_stats(sf_dir: str):
     from pageindex_ray.pipelines.textstats import transcripts_role_stats
 
@@ -714,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
+        "snippets": _q_snippets,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -1016,6 +1036,31 @@ SELECT query_id,
 FROM agg
 WHERE must_hits = n_must AND not_hits = 0
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "snippets": _BM25_CORE + """
+            , topk AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank
+              FROM scored
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+            ), anch AS (
+              -- anchor = rarest matched query term (df asc, term asc)
+              SELECT q.query_id, tf.doc_id, q.term,
+                     row_number() OVER (PARTITION BY q.query_id, tf.doc_id
+                                        ORDER BY dft.df ASC, q.term ASC) AS arn
+              FROM q JOIN tf ON q.term = tf.term JOIN dft ON dft.term = q.term
+            ), snip AS (
+              SELECT t.query_id, t.rank, t.doc_id, a.term AS anchor, d.toks,
+                     list_position(d.toks, a.term) AS pos, len(d.toks) AS n
+              FROM topk t
+              JOIN anch a ON a.query_id = t.query_id AND a.doc_id = t.doc_id AND a.arn = 1
+              JOIN docs d ON d.doc_id = t.doc_id
+            )
+            -- DuckDB list slices are 1-based INCLUSIVE: [pos-5, pos+5]
+            -- covers the same 11 tokens as Python's [pos0-5 : pos0+6)
+            SELECT query_id, rank, doc_id, anchor,
+                   array_to_string(toks[greatest(1, pos - 5):least(n, pos + 5)], ' ') AS snippet
+            FROM snip
         """,
         "prefix_search": f"""
 WITH base AS (

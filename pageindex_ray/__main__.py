@@ -86,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
         "--columns", nargs="+", default=["role"], help="attribute columns to index"
     )
 
+    st = sub.add_parser(
+        "stored", help="build the stored-fields store (snippets / doc hydration)"
+    )
+    st.add_argument("--index", required=True, help="committed index dir")
+    st.add_argument("--input", required=True, help="the transcripts the index was built from")
+    st.add_argument(
+        "--columns", nargs="+", default=["text"], help="field columns to store"
+    )
+
     q = sub.add_parser("bench-queries", help="p50 latency over a query parquet")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True)
@@ -165,6 +174,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.attrs import build_attrs
 
             print(json.dumps(build_attrs(args.index, args.input, tuple(args.columns))))
+        elif args.cmd == "stored":
+            from .pipelines.stored import build_stored_fields
+
+            print(json.dumps(build_stored_fields(args.index, args.input, tuple(args.columns))))
         elif args.cmd == "search":
             from .pipelines.search import SearchEngine
 

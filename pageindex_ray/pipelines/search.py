@@ -45,6 +45,7 @@ from ..state.scorers import make_scorer_pool
 from ..state.shards import PostingShard
 from .attrs import AttrStore, attrs_dir_of, membership_mask, normalize_where
 from .build import load_meta
+from .stored import DocStore, stored_dir_of
 from .wand import block_max_wand
 
 
@@ -179,6 +180,18 @@ class SearchEngine:
         self._attrs_dir = adir if self.attrs is not None else None
         # (col, values) -> global sorted doc-id array (driver filter path)
         self._attr_ids: dict[tuple, np.ndarray] = {}
+        # optional stored-fields store (pipelines/stored.py): doc-addressed
+        # field hydration for snippets / result rendering
+        self.stored: DocStore | None = None
+        sdir = stored_dir_of(index_dir)
+        if os.path.exists(os.path.join(sdir, "_SUCCESS")):
+            dstore = DocStore(sdir)
+            if dstore.meta.get("fingerprint") != self.meta["fingerprint"]:
+                raise ValueError(
+                    f"stored-fields store at {sdir} was built for a different index "
+                    "(fingerprint mismatch): rebuild it with build_stored_fields()"
+                )
+            self.stored = dstore
         self.scorers = (
             make_scorer_pool(
                 self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers,
@@ -871,6 +884,67 @@ class SearchEngine:
         return self.search_terms_batch(
             [(qid, ts) for (qid, _), ts in zip(items, expanded)], k, **search_kw
         )
+
+    # --------------------------------------------------------------- snippets
+
+    def snippets_batch(
+        self, queries: list[tuple[int, str]], k: int = 10, window: int = 5
+    ) -> pa.Table:
+        """Keyword-in-context snippets for each query's top-k (turn
+        granularity). Deterministic, SQL-twinable rule, all in TOKEN space:
+
+          anchor  = the matched query term with the LOWEST df (rarest —
+                    ties by term asc),
+          pos     = the anchor's first occurrence in the doc's token list,
+          snippet = tokens[pos-window : pos+window] joined by single spaces.
+
+        Texts are hydrated from the stored-fields store (doc_id-sorted
+        parquet -> row-group-pruned point reads; pipelines/stored.py) — the
+        corpus is never scanned at query time. Output: query_id, rank,
+        doc_id, anchor, snippet."""
+        if self.stored is None:
+            raise ValueError(
+                "snippets require the stored-fields store: run "
+                "build_stored_fields() on this index first"
+            )
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        topk = self.search_terms_batch(per_query, k=k)
+        doc_ids = topk.column("doc_id").to_numpy()
+        qids = topk.column("query_id").to_numpy()
+        texts = (
+            self.stored.fetch(doc_ids, ("text",)).column("text").to_pylist()
+            if len(doc_ids)
+            else []
+        )
+        terms_of = dict(per_query)
+        self._fetch_dfs(sorted({t for _, ts in per_query for t in ts}))
+        anchors, snips = [], []
+        for qid, text in zip(qids, texts):
+            toks = self.tokenize(text)
+            tokset = set(toks)
+            present = [t for t in terms_of[int(qid)] if t in tokset]
+            # a top-k doc matched >= 1 scored term by construction
+            anchor = min(present, key=lambda t: (self._dfs[t], t))
+            pos = toks.index(anchor)
+            snips.append(" ".join(toks[max(0, pos - window) : pos + window + 1]))
+            anchors.append(anchor)
+        return pa.table(
+            {
+                "query_id": topk.column("query_id"),
+                "rank": topk.column("rank"),
+                "doc_id": topk.column("doc_id"),
+                "anchor": pa.array(anchors, type=pa.string()),
+                "snippet": pa.array(snips, type=pa.string()),
+            }
+        )
+
+    def snippets(self, query_text: str, k: int = 10, window: int = 5) -> list[dict]:
+        """Single-query form of ``snippets_batch``."""
+        t = self.snippets_batch([(0, query_text)], k=k, window=window)
+        return [
+            {k_: v for k_, v in row.items() if k_ != "query_id"}
+            for row in t.to_pylist()
+        ]
 
     # ---------------------------------------------------------------- boolean
 
