@@ -328,6 +328,26 @@ def _q_snippets(sf_dir: str):
         eng.shutdown()
 
 
+def _q_suggest(sf_dir: str):
+    """Query completion: first 3 chars of each query's lexicographically
+    first distinct token -> the 10 highest-df dictionary completions
+    (df desc, term asc). Token-less queries are skipped — same rule in the
+    SQL twin."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        items = []
+        for qid, text in _load_queries(sf_dir):
+            toks = sorted(set(eng.tokenize(text)))
+            if toks:
+                items.append((qid, toks[0][:3]))
+        return eng.suggest_batch(items, k=10)
+    finally:
+        eng.shutdown()
+
+
 def _q_role_stats(sf_dir: str):
     from pageindex_ray.pipelines.textstats import transcripts_role_stats
 
@@ -734,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "snippets": _q_snippets,
+        "suggest": _q_suggest,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -1061,6 +1082,30 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC
             SELECT query_id, rank, doc_id, anchor,
                    array_to_string(toks[greatest(1, pos - 5):least(n, pos + 5)], ' ') AS snippet
             FROM snip
+        """,
+        "suggest": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT toks, (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+), dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+), qp AS (
+  SELECT query_id,
+         substr(list_sort(list_distinct({SQL_TOKENIZE.format(col='text')}))[1], 1, 3) AS pfx
+  FROM read_parquet('{_QPATH}')
+)
+SELECT qp.query_id,
+       CAST(row_number() OVER (PARTITION BY qp.query_id
+                               ORDER BY dft.df DESC, dft.term ASC) - 1 AS INTEGER) AS rank,
+       dft.term, dft.df
+FROM qp JOIN dft ON starts_with(dft.term, qp.pfx)
+QUALIFY row_number() OVER (PARTITION BY qp.query_id
+                           ORDER BY dft.df DESC, dft.term ASC) <= 10
         """,
         "prefix_search": f"""
 WITH base AS (

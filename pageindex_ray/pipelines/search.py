@@ -850,6 +850,54 @@ class SearchEngine:
             raise ValueError("empty fuzzy pattern")
         return self._expand_batch("expand_edit1", [term], max_expansions)[0]
 
+    def suggest_batch(self, items: list[tuple[int, str]], k: int = 10) -> pa.Table:
+        """Query completion: per (query_id, prefix), the k highest-df
+        dictionary terms starting with the prefix, ordered (df desc, term
+        asc). One shard fan-out for the whole batch. Output: query_id,
+        rank, term, df."""
+        if any(not p for _, p in items):
+            raise ValueError("empty prefix would expand the whole vocabulary")
+        if not items:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int32()),
+                    "term": pa.array([], type=pa.string()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        per_shard = ray.get(
+            [s.expand_prefix.remote([p for _, p in items]) for s in self.shards]
+        )
+        qids, ranks, terms, dfs = [], [], [], []
+        for i, (qid, _) in enumerate(items):
+            sums: dict[str, int] = defaultdict(int)
+            for ps in per_shard:
+                for t, df in ps[i].items():
+                    sums[t] += df
+            ranked = sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for r, (t, df) in enumerate(ranked):
+                qids.append(qid)
+                ranks.append(r)
+                terms.append(t)
+                dfs.append(df)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "term": pa.array(terms, type=pa.string()),
+                "df": pa.array(dfs, type=pa.int64()),
+            }
+        )
+
+    def suggest(self, prefix: str, k: int = 10) -> list[dict]:
+        """Single-prefix form of ``suggest_batch``."""
+        t = self.suggest_batch([(0, prefix)], k=k)
+        return [
+            {"term": term, "df": df}
+            for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+        ]
+
     def prefix_search(self, prefix: str, k: int = 10, max_expansions: int = 64,
                       **search_kw) -> list[dict]:
         """Wildcard retrieval ``prefix*``: expand against the dictionary,

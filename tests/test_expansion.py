@@ -134,6 +134,28 @@ def test_expansion_distributed_matches_driver(ray_session, built_index):
         e2.shutdown()
 
 
+def test_suggest_matches_dictionary(engine, built_index, oracle_index):
+    dfs = {t: len(ids) for t, (ids, _) in oracle_index.postings.items()}
+    for qid, pfx in _prefixes(built_index)[:20]:
+        p3 = pfx[:3]
+        got = engine.suggest(p3, k=10)
+        want = sorted(
+            ((t, df) for t, df in dfs.items() if t.startswith(p3)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert [(r["term"], r["df"]) for r in got] == want, (qid, p3)
+    # batch == singles
+    items = [(qid, p[:3]) for qid, p in _prefixes(built_index)]
+    b = engine.suggest_batch(items, k=10)
+    rows = []
+    for qid, p in items:
+        for r, s in enumerate(engine.suggest(p, k=10)):
+            rows.append((qid, r, s["term"], s["df"]))
+    assert [
+        (r["query_id"], r["rank"], r["term"], r["df"]) for r in b.to_pylist()
+    ] == rows
+
+
 def test_expansion_edge_cases(engine):
     with pytest.raises(ValueError):
         engine.expand_prefix_terms("")
