@@ -348,6 +348,39 @@ def _q_suggest(sf_dir: str):
         eng.shutdown()
 
 
+def _q_bm25_tombstoned(sf_dir: str):
+    """BM25 over a tombstoned copy of the index: every doc_id % 7 == 0 is
+    deleted (pipelines/tombstones.py). Deleted docs vanish from results;
+    df/idf/avgdl still count them (Lucene delete semantics), so the SQL
+    twin scores over ALL docs and filters doc_id % 7 != 0 at the end. The
+    copy keeps the shared cached index pristine for every other entry."""
+    import shutil
+
+    from pageindex_ray.pipelines.build import load_meta
+    from pageindex_ray.pipelines.search import SearchEngine
+    from pageindex_ray.pipelines.tombstones import add_tombstones
+
+    idx = _ensure_index(sf_dir)
+    tomb_idx = idx + "_tomb"
+    src_meta = load_meta(idx)
+    if os.path.exists(os.path.join(tomb_idx, "_SUCCESS")):
+        if load_meta(tomb_idx)["fingerprint"] != src_meta["fingerprint"]:
+            shutil.rmtree(tomb_idx)  # source index was rebuilt: stale copy
+    if not os.path.exists(os.path.join(tomb_idx, "_SUCCESS")):
+        if os.path.isdir(tomb_idx):
+            shutil.rmtree(tomb_idx)
+        shutil.copytree(idx, tomb_idx)
+    import numpy as np
+
+    add_tombstones(tomb_idx, np.arange(0, src_meta["n_docs"], 7))
+    eng = SearchEngine(tomb_idx, num_shards=8)
+    try:
+        out = eng.search_batch(_load_queries(sf_dir), k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_role_stats(sf_dir: str):
     from pageindex_ray.pipelines.textstats import transcripts_role_stats
 
@@ -755,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": _q_fuzzy_search,
         "snippets": _q_snippets,
         "suggest": _q_suggest,
+        "bm25_tombstoned_topk": _q_bm25_tombstoned,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -1082,6 +1116,16 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC
             SELECT query_id, rank, doc_id, anchor,
                    array_to_string(toks[greatest(1, pos - 5):least(n, pos + 5)], ' ') AS snippet
             FROM snip
+        """,
+        "bm25_tombstoned_topk": _BM25_CORE + """
+            -- Lucene delete semantics: scores computed over the FULL
+            -- corpus stats, deleted docs masked at the end
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+                   doc_id
+            FROM scored
+            WHERE doc_id % 7 != 0
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
         """,
         "suggest": f"""
 WITH base AS (

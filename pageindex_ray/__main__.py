@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         "--columns", nargs="+", default=["text"], help="field columns to store"
     )
 
+    dl = sub.add_parser(
+        "delete", help="tombstone doc ids (masked at query time; stats unchanged)"
+    )
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", nargs="+", type=int, required=True, help="doc ids to delete")
+
     q = sub.add_parser("bench-queries", help="p50 latency over a query parquet")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True)
@@ -174,6 +180,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.attrs import build_attrs
 
             print(json.dumps(build_attrs(args.index, args.input, tuple(args.columns))))
+        elif args.cmd == "delete":
+            from .pipelines.tombstones import add_tombstones
+
+            print(json.dumps(add_tombstones(args.index, args.ids)))
         elif args.cmd == "stored":
             from .pipelines.stored import build_stored_fields
 

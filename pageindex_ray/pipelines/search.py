@@ -46,6 +46,7 @@ from ..state.shards import PostingShard
 from .attrs import AttrStore, attrs_dir_of, membership_mask, normalize_where
 from .build import load_meta
 from .stored import DocStore, stored_dir_of
+from .tombstones import load_tombstones
 from .wand import block_max_wand
 
 
@@ -192,10 +193,20 @@ class SearchEngine:
                     "(fingerprint mismatch): rebuild it with build_stored_fields()"
                 )
             self.stored = dstore
+        # tombstone deletes (pipelines/tombstones.py): deleted docs are
+        # masked on every scoring path; df/idf/avgdl still count them until
+        # rebuild (Lucene delete semantics), so surviving docs' scores are
+        # bit-identical to the pre-delete index. WAND falls back to
+        # exhaustive scoring when tombstones exist (result-identical by
+        # design; pruning bounds ignore the mask).
+        self.tombstones = load_tombstones(
+            index_dir, expected_fingerprint=self.meta["fingerprint"]
+        )
         self.scorers = (
             make_scorer_pool(
                 self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers,
                 k1=self.k1, b=self.b, avgdl=self.avgdl, attrs_dir=self._attrs_dir,
+                tombstones=self.tombstones,
             )
             if num_scorers > 0
             else []
@@ -393,6 +404,13 @@ class SearchEngine:
             keep &= membership_mask(self._where_ids(col, values), docs)
         return docs[keep], scores[keep]
 
+    def _drop_deleted(self, docs: np.ndarray, scores: np.ndarray):
+        """Mask tombstoned docs (driver scoring paths)."""
+        if not len(self.tombstones) or not len(docs):
+            return docs, scores
+        keep = ~membership_mask(self.tombstones, docs)
+        return docs[keep], scores[keep]
+
     @staticmethod
     def _merge_partials(partials: list, k: int, granularity: str):
         """Merge per-range top-k partials; ranges are disjoint so the global
@@ -465,7 +483,7 @@ class SearchEngine:
         return specs
 
     def _topk_turn(self, terms: list[str], k: int, use_wand: bool, where_norm=()):
-        if use_wand:
+        if use_wand and not len(self.tombstones):
             specs = self._wand_specs(terms)
             if not specs:
                 return None
@@ -474,6 +492,9 @@ class SearchEngine:
         if not arrays:
             return None
         d, s = self._exhaustive(arrays)
+        d, s = self._drop_deleted(d, s)
+        if not len(d):
+            return None
         if where_norm:
             d, s = self._apply_where(d, s, where_norm)
             if not len(d):
@@ -491,6 +512,9 @@ class SearchEngine:
         if not arrays:
             return None
         docs, scores = self._exhaustive(arrays)
+        docs, scores = self._drop_deleted(docs, scores)
+        if not len(docs):
+            return None
         if where_norm:
             # filter BEFORE the rollup: a group's score sums only its
             # filter-surviving turns (same semantics as the SQL twin)
@@ -569,6 +593,8 @@ class SearchEngine:
         where_norm = normalize_where(where, self.attrs)
         if where_norm and use_wand:
             raise ValueError("use_wand does not support where= filters; use exhaustive scoring")
+        # tombstones force exhaustive scoring (result-identical; see __init__)
+        use_wand = use_wand and not len(self.tombstones)
         terms = sorted(set(terms))
         if self.scorers:
             # distributed scoring for every mode; use_wand runs a
@@ -683,6 +709,7 @@ class SearchEngine:
         where_norm = normalize_where(where, self.attrs)
         if where_norm and use_wand:
             raise ValueError("use_wand does not support where= filters; use exhaustive scoring")
+        use_wand = use_wand and not len(self.tombstones)
         per_query = [(qid, sorted(set(ts))) for qid, ts in items]
         if self.scorers:
             results = self._score_batch_distributed(
@@ -780,6 +807,8 @@ class SearchEngine:
                 if not arrays:
                     continue
                 docs = np.unique(np.concatenate([ids for ids, _ in arrays.values()]))
+                if len(self.tombstones):
+                    docs = docs[~membership_mask(self.tombstones, docs)]
                 counts_by_qid[qid] = np.asarray(
                     [
                         int(membership_mask(self._where_ids(col, (v,)), docs).sum())
@@ -1020,6 +1049,7 @@ class SearchEngine:
         if not score_arrays:
             return None
         docs, scores = self._exhaustive(score_arrays)
+        docs, scores = self._drop_deleted(docs, scores)
         keep = np.ones(len(docs), dtype=bool)
         for t in must_t:
             ids = arrays[t][0]

@@ -49,10 +49,20 @@ class RangeScorer:
     def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names,
                  dense_max_range: int | None = None,
                  k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
-                 attrs_dir: str | None = None):
+                 attrs_dir: str | None = None, tombstones=None):
         self.shards = list(shards)
         self.lo = int(lo)
         self.hi = int(hi)
+        # range-local (0-based) tombstoned doc ids: every scoring surface
+        # of this range masks them (pipelines/tombstones.py — df/idf still
+        # count deleted docs, Lucene semantics)
+        if tombstones is not None and len(tombstones):
+            t = np.asarray(tombstones, dtype=np.int64)
+            a = int(np.searchsorted(t, self.lo, side="left"))
+            b_ = int(np.searchsorted(t, self.hi, side="left"))
+            self._tomb_local = t[a:b_] - self.lo
+        else:
+            self._tomb_local = np.empty(0, dtype=np.int64)
         # attribute sidecar (pipelines/attrs.py): each scorer loads ONLY its
         # [lo, hi) slice of a filter clause's doc ids (parquet row-group
         # pruning on the sidecar's lo/hi bound columns) — per-scorer filter
@@ -244,6 +254,10 @@ class RangeScorer:
                 continue
             uniq, vals = acc
             keep = np.ones(len(uniq), dtype=bool)
+            if len(self._tomb_local):
+                from ..pipelines.attrs import membership_mask
+
+                keep &= ~membership_mask(self._tomb_local, uniq)
             dead = False
             for t in must_terms:
                 m = self._member_mask(uniq, arrays.get(t, ()))
@@ -284,7 +298,7 @@ class RangeScorer:
         union: dict[str, float] = {}
         for _, term_idfs in queries:
             union.update(term_idfs)
-        if use_wand and granularity == "turn":
+        if use_wand and granularity == "turn" and not len(self._tomb_local):
             self._ensure_wand_terms(sorted(union.items()))
         else:
             self._ensure_terms(sorted(union.items()))
@@ -320,6 +334,8 @@ class RangeScorer:
                 out.append(np.zeros(len(values), dtype=np.int64))
                 continue
             docs = np.unique(np.concatenate(parts))
+            if len(self._tomb_local):
+                docs = docs[~membership_mask(self._tomb_local, docs)]
             out.append(
                 np.asarray(
                     [int(membership_mask(vi, docs).sum()) for vi in value_ids],
@@ -351,7 +367,7 @@ class RangeScorer:
         exhaustive path here."""
         from ..pipelines.search import topk_from_scores
 
-        if use_wand and granularity == "turn":
+        if use_wand and granularity == "turn" and not len(self._tomb_local):
             from ..pipelines.wand import block_max_wand
 
             infos = self._ensure_wand_terms(term_idfs)
@@ -376,6 +392,17 @@ class RangeScorer:
                 return np.empty(0, object), np.empty(0, np.float64)
             return np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.float64)
         uniq, vals = acc
+        if len(self._tomb_local):
+            from ..pipelines.attrs import membership_mask
+
+            alive = ~membership_mask(self._tomb_local, uniq)
+            uniq, vals = uniq[alive], vals[alive]
+            if not len(uniq):
+                if granularity == "turn":
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                if granularity == "conv":
+                    return np.empty(0, object), np.empty(0, np.float64)
+                return np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.float64)
         if where:
             keep = self._where_keep(uniq, where)
             uniq, vals = uniq[keep], vals[keep]
@@ -413,7 +440,7 @@ class RangeScorer:
 def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int,
                      dense_max_range: int | None = None,
                      k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
-                     attrs_dir: str | None = None):
+                     attrs_dir: str | None = None, tombstones=None):
     """Create RangeScorer actors over conv-aligned doc ranges of ~equal size.
 
     Ranges split the conversation table (never a conversation), so every
@@ -437,7 +464,7 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
         scorers.append(
             RangeScorer.remote(
                 shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object),
-                dense_max_range, k1, b, avgdl, attrs_dir,
+                dense_max_range, k1, b, avgdl, attrs_dir, tombstones,
             )
         )
     return scorers
