@@ -348,16 +348,14 @@ def _q_suggest(sf_dir: str):
         eng.shutdown()
 
 
-def _q_bm25_tombstoned(sf_dir: str):
-    """BM25 over a tombstoned copy of the index: every doc_id % 7 == 0 is
-    deleted (pipelines/tombstones.py). Deleted docs vanish from results;
-    df/idf/avgdl still count them (Lucene delete semantics), so the SQL
-    twin scores over ALL docs and filters doc_id % 7 != 0 at the end. The
-    copy keeps the shared cached index pristine for every other entry."""
+def _tombstoned_index(sf_dir: str) -> str:
+    """A COPY of the cached index with every doc_id % 7 == 0 tombstoned
+    (keeps the shared cached index pristine for every other entry)."""
     import shutil
 
+    import numpy as np
+
     from pageindex_ray.pipelines.build import load_meta
-    from pageindex_ray.pipelines.search import SearchEngine
     from pageindex_ray.pipelines.tombstones import add_tombstones
 
     idx = _ensure_index(sf_dir)
@@ -370,10 +368,40 @@ def _q_bm25_tombstoned(sf_dir: str):
         if os.path.isdir(tomb_idx):
             shutil.rmtree(tomb_idx)
         shutil.copytree(idx, tomb_idx)
-    import numpy as np
-
     add_tombstones(tomb_idx, np.arange(0, src_meta["n_docs"], 7))
-    eng = SearchEngine(tomb_idx, num_shards=8)
+    return tomb_idx
+
+
+def _q_bm25_tombstoned(sf_dir: str):
+    """BM25 over a tombstoned copy of the index: every doc_id % 7 == 0 is
+    deleted (pipelines/tombstones.py). Deleted docs vanish from results;
+    df/idf/avgdl still count them (Lucene delete semantics), so the SQL
+    twin scores over ALL docs and filters doc_id % 7 != 0 at the end."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    eng = SearchEngine(_tombstoned_index(sf_dir), num_shards=8)
+    try:
+        out = eng.search_batch(_load_queries(sf_dir), k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def _q_bm25_compacted(sf_dir: str):
+    """BM25 over a COMPACTED index (pipelines/compact.py): the tombstoned
+    copy's deleted docs physically expunged and the statistics recomputed
+    over survivors — idf's N, avgdl, df all change, so the SQL twin filters
+    doc_id % 7 != 0 BEFORE computing stats (vs the tombstone twin, which
+    filters after). Doc ids keep their original (now sparse) values."""
+    from pageindex_ray.pipelines.compact import compact_index
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    tomb_idx = _tombstoned_index(sf_dir)
+    comp_idx = _index_dir(sf_dir) + "_compact"
+    # compaction is deterministic and cheap at gate scale: always rewrite,
+    # so a rebuilt source never leaves a stale compacted copy behind
+    compact_index(tomb_idx, comp_idx)
+    eng = SearchEngine(comp_idx, num_shards=8)
     try:
         out = eng.search_batch(_load_queries(sf_dir), k=10)
         return out.select(["query_id", "rank", "doc_id"])
@@ -789,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,
         "suggest": _q_suggest,
         "bm25_tombstoned_topk": _q_bm25_tombstoned,
+        "bm25_compacted_topk": _q_bm25_compacted,
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
@@ -1126,6 +1155,48 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC
             FROM scored
             WHERE doc_id % 7 != 0
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "bm25_compacted_topk": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), alldocs AS (
+  SELECT toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), docs AS (
+  -- compaction semantics: deleted docs leave the STATISTICS too (vs the
+  -- tombstone twin, which filters after scoring); original doc ids kept
+  SELECT * FROM alldocs WHERE doc_id % 7 != 0
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl
+                                / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
         """,
         "suggest": f"""
 WITH base AS (

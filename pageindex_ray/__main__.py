@@ -101,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--index", required=True)
     dl.add_argument("--ids", nargs="+", type=int, required=True, help="doc ids to delete")
 
+    cp = sub.add_parser(
+        "compact", help="expunge tombstoned docs into a new index (stats recomputed)"
+    )
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+
     q = sub.add_parser("bench-queries", help="p50 latency over a query parquet")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True)
@@ -184,6 +190,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.tombstones import add_tombstones
 
             print(json.dumps(add_tombstones(args.index, args.ids)))
+        elif args.cmd == "compact":
+            from .pipelines.compact import compact_index
+
+            print(json.dumps(compact_index(args.index, args.out)))
         elif args.cmd == "stored":
             from .pipelines.stored import build_stored_fields
 

@@ -74,6 +74,12 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
             )
     t0 = time.perf_counter()
     metas = [_load(d) for d in index_dirs]
+    for d, m in zip(index_dirs, metas):
+        if m.get("n_docs_live") is not None:
+            raise ValueError(
+                f"wave {d} is a compacted index (sparse doc-id space); merge "
+                "supports dense waves only — compact after merging instead"
+            )
     order = np.argsort([m.get("doc_base", 0) for m in metas])
     dirs = [index_dirs[i] for i in order]
     metas = [metas[i] for i in order]

@@ -115,7 +115,11 @@ class SearchEngine:
         self.k1 = self.meta["config"]["k1"]
         self.b = self.meta["config"]["b"]
         self.avgdl = self.meta["avgdl"]
+        # n_docs = doc-id-space EXTENT (sizes dense accumulators and scorer
+        # ranges; doc ids are sparse after compaction); n_live = surviving
+        # doc count (idf's N). Identical on a never-compacted index.
         self.n_docs = self.meta["n_docs"]
+        self.n_live = int(self.meta.get("n_docs_live", self.meta["n_docs"]))
         # wave indexes (pipelines/merge.py) address docs from a base offset;
         # the dense accumulator below is indexed relative to it
         self.doc_base = int(self.meta.get("doc_base", 0))
@@ -255,7 +259,7 @@ class SearchEngine:
         return self._fetch(terms, "fetch_scored")
 
     def idf(self, df: int) -> float:
-        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        return math.log((self.n_live - df + 0.5) / (df + 0.5) + 1.0)
 
     def term_doc_ids(self, terms: list[str]) -> dict[str, np.ndarray]:
         """Sorted doc-id array per term (terms absent from the index are
