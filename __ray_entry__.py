@@ -787,6 +787,22 @@ def _q_phrase_search(sf_dir: str):
         eng.shutdown()
 
 
+def _q_phrase_search_pos(sf_dir: str):
+    """Same phrase set and (query_id, doc_id, n_occ) contract as
+    phrase_search, answered from the positional sidecar instead of a
+    corpus verify pass — shares the SQL twin verbatim."""
+    from pageindex_ray.pipelines.phrase import phrase_queries
+    from pageindex_ray.pipelines.positions import (
+        build_positions,
+        phrase_search_positional,
+    )
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    build_positions(idx, tpath)  # resumable: fingerprint-bound marker
+    return phrase_search_positional(idx, phrase_queries(tpath))
+
+
 def _q_more_like_this(sf_dir: str):
     from pageindex_ray.pipelines.mlt import mlt_source_docs, more_like_this
     from pageindex_ray.pipelines.search import SearchEngine
@@ -853,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "bm25_segment_topk": _q_bm25_segment_topk,
         "phrase_search": _q_phrase_search,
+        "phrase_search_pos": _q_phrase_search_pos,
         "more_like_this": _q_more_like_this,
     }
 
@@ -1017,6 +1034,7 @@ def _more_like_this_sql(tpath: str = _TPATH, sources=None) -> str:
 def _oracle_sqls() -> dict[str, str]:
     return {
         "phrase_search": _phrase_search_sql(),
+        "phrase_search_pos": _phrase_search_sql(),
         "more_like_this": _more_like_this_sql(),
         "docmap": f"""
             SELECT conv_id, turn_idx,

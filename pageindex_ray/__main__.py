@@ -86,6 +86,18 @@ def main(argv: list[str] | None = None) -> int:
         "--columns", nargs="+", default=["role"], help="attribute columns to index"
     )
 
+    ps = sub.add_parser(
+        "positions", help="build the positional sidecar (index-only phrase search)"
+    )
+    ps.add_argument("--index", required=True, help="committed index dir")
+    ps.add_argument("--input", required=True, help="the transcripts the index was built from")
+
+    ph = sub.add_parser(
+        "phrase", help="exact-phrase search answered from the positional sidecar"
+    )
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--query", required=True, help="the phrase text")
+
     st = sub.add_parser(
         "stored", help="build the stored-fields store (snippets / doc hydration)"
     )
@@ -194,6 +206,15 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.compact import compact_index
 
             print(json.dumps(compact_index(args.index, args.out)))
+        elif args.cmd == "positions":
+            from .pipelines.positions import build_positions
+
+            print(json.dumps(build_positions(args.index, args.input)))
+        elif args.cmd == "phrase":
+            from .pipelines.positions import phrase_search_positional
+
+            t = phrase_search_positional(args.index, [(0, args.query)])
+            print(json.dumps(t.drop_columns(["query_id"]).to_pylist()))
         elif args.cmd == "stored":
             from .pipelines.stored import build_stored_fields
 
