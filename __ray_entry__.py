@@ -803,6 +803,19 @@ def _q_phrase_search_pos(sf_dir: str):
     return phrase_search_positional(idx, phrase_queries(tpath))
 
 
+def _q_proximity_search(sf_dir: str):
+    from pageindex_ray.pipelines.positions import (
+        build_positions,
+        proximity_queries,
+        proximity_search,
+    )
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    build_positions(idx, tpath)
+    return proximity_search(idx, proximity_queries(tpath), slop=7)
+
+
 def _q_more_like_this(sf_dir: str):
     from pageindex_ray.pipelines.mlt import mlt_source_docs, more_like_this
     from pageindex_ray.pipelines.search import SearchEngine
@@ -870,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_segment_topk": _q_bm25_segment_topk,
         "phrase_search": _q_phrase_search,
         "phrase_search_pos": _q_phrase_search_pos,
+        "proximity_search": _q_proximity_search,
         "more_like_this": _q_more_like_this,
     }
 
@@ -967,6 +981,58 @@ def _phrase_search_sql(tpath: str = _TPATH, phrases=None) -> str:
     return sql
 
 
+def _proximity_sql(tpath: str = _TPATH, queries=None, slop: int = 7) -> str:
+    """Twin of pipelines/positions.py proximity_search: per query, the
+    minimal co-occurrence window span over one position per DISTINCT term
+    (k-way self-join on the (doc, term, position) relation; MIN over the
+    cross product equals the engine's k-pointer minimal covering range)."""
+    from pageindex_ray.pipelines.positions import proximity_queries
+    from pageindex_ray.tokenizer import tokenize
+
+    memo_key = ("prox", tpath, slop) if queries is None else None
+    if memo_key and memo_key in _SQL_MEMO:
+        return _SQL_MEMO[memo_key]
+    if queries is None:
+        queries = proximity_queries(tpath)
+    blocks = []
+    for qid, text in queries:
+        terms = sorted(set(tokenize(text)))
+        if not terms:
+            continue
+        aliases = [f"p{i}" for i in range(len(terms))]
+        frm = ", ".join(f"pos {a}" for a in aliases)
+        conds = [f"p0.term = '{terms[0]}'"]
+        for i in range(1, len(terms)):
+            conds.append(f"p{i}.term = '{terms[i]}'")
+            conds.append(f"p{i}.doc_id = p0.doc_id")
+        cols = ", ".join(f"{a}.p" for a in aliases)
+        span = (
+            f"GREATEST({cols}) - LEAST({cols})" if len(aliases) > 1 else "0"
+        )
+        blocks.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, p0.doc_id, "
+            f"CAST(MIN({span}) AS BIGINT) AS span FROM {frm} "
+            f"WHERE {' AND '.join(conds)} GROUP BY p0.doc_id "
+            f"HAVING MIN({span}) <= {slop}"
+        )
+    toks = SQL_TOKENIZE.format(col="text")
+    sql = f"""
+        WITH docs AS (
+          SELECT {toks} AS toks,
+                 (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+          FROM read_parquet('{tpath}')
+        ), pos AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 CAST(unnest(range(len(toks))) AS BIGINT) AS p
+          FROM docs WHERE len(toks) > 0
+        )
+        {' UNION ALL '.join(blocks)}
+    """
+    if memo_key:
+        _SQL_MEMO[memo_key] = sql
+    return sql
+
+
 def _more_like_this_sql(tpath: str = _TPATH, sources=None) -> str:
     """Twin of pipelines/mlt.py: top-5 tf-idf terms of each source doc
     (salience desc, term asc — the same double expression as engine.idf),
@@ -1035,6 +1101,7 @@ def _oracle_sqls() -> dict[str, str]:
     return {
         "phrase_search": _phrase_search_sql(),
         "phrase_search_pos": _phrase_search_sql(),
+        "proximity_search": _proximity_sql(),
         "more_like_this": _more_like_this_sql(),
         "docmap": f"""
             SELECT conv_id, turn_idx,

@@ -300,6 +300,171 @@ def _match_block(group: pa.Table, qtoks: list[tuple[int, list[str]]]) -> pa.Tabl
     )
 
 
+def _min_span(pos_lists: list[np.ndarray]) -> int:
+    """Minimal ``max - min`` over tuples choosing one position per list —
+    the classic k-pointer smallest-covering-range merge, equal to the SQL
+    twin's MIN(GREATEST(..) - LEAST(..)) over the occurrence cross product
+    without materializing it."""
+    k = len(pos_lists)
+    labels = np.concatenate([np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)])
+    merged = np.concatenate(pos_lists)
+    order = np.argsort(merged, kind="stable")
+    merged = merged[order]
+    labels = labels[order]
+    counts = np.zeros(k, dtype=np.int64)
+    covered = 0
+    best = np.iinfo(np.int64).max
+    lo = 0
+    for hi in range(len(merged)):
+        if counts[labels[hi]] == 0:
+            covered += 1
+        counts[labels[hi]] += 1
+        while covered == k:
+            best = min(best, int(merged[hi] - merged[lo]))
+            counts[labels[lo]] -= 1
+            if counts[labels[lo]] == 0:
+                covered -= 1
+            lo += 1
+    return int(best)
+
+
+def _proximity_block(
+    group: pa.Table, qterms: list[tuple[int, list[str]]], slop: int
+) -> pa.Table:
+    """Proximity matching inside one input block: per query, docs whose
+    DISTINCT terms all co-occur within a token window of span <= slop;
+    emits the minimal span."""
+    group = group.combine_chunks()
+    terms = group.column("term").to_pylist()
+    by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for i, t in enumerate(terms):
+        docs = np.asarray(group.column("doc_ids")[i].values.to_numpy(), dtype=np.int64)
+        poss = np.asarray(group.column("positions")[i].values.to_numpy(), dtype=np.int64)
+        order = np.lexsort((poss, docs))
+        by_term[t] = (docs[order], poss[order])
+
+    out_q: list[int] = []
+    out_d: list[int] = []
+    out_s: list[int] = []
+    for qid, toks in qterms:
+        if not toks or any(t not in by_term for t in toks):
+            continue
+        cand: np.ndarray | None = None
+        for t in toks:
+            docs = np.unique(by_term[t][0])
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if cand.size == 0:
+                break
+        if cand is None or cand.size == 0:
+            continue
+        for d in cand:
+            lists = []
+            for t in toks:
+                docs, poss = by_term[t]
+                a = np.searchsorted(docs, d, side="left")
+                b = np.searchsorted(docs, d, side="right")
+                lists.append(poss[a:b])
+            span = _min_span(lists)
+            if span <= slop:
+                out_q.append(qid)
+                out_d.append(int(d))
+                out_s.append(span)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "span": pa.array(out_s, type=pa.int64()),
+        }
+    )
+
+
+PROX_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("span", pa.int64()),
+    ]
+)
+
+
+def proximity_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    slop: int = 7,
+    tokenizer=None,
+) -> pa.Table:
+    """Unordered proximity match from the positional sidecar: a doc matches
+    when all the query's DISTINCT terms co-occur inside a token window of
+    span <= ``slop`` (span = max position - min position of one chosen
+    occurrence per term, minimized over choices — Lucene's sloppy-phrase
+    cousin with order-free semantics so the SQL twin is a plain k-way
+    position join). Duplicate query tokens are deduplicated (first
+    occurrence order is irrelevant — the window is unordered).
+
+    Same distribution shape as phrase_search_positional: term-filtered
+    sidecar read + groupby(block); per-block work is a k-pointer merge per
+    candidate doc (candidates already pruned to docs containing every
+    term)."""
+    from ..sources.readers import read_parquet_clean
+    from .build import load_meta
+
+    pos_dir = positions_dir_of(index_dir)
+    if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"positional sidecar at {pos_dir} has no _SUCCESS marker: run "
+            "build_positions() (or `python -m pageindex_ray positions`) first"
+        )
+    pmeta = load_positions_meta(pos_dir)
+    imeta = load_meta(index_dir)
+    if pmeta["fingerprint"] != imeta["fingerprint"]:
+        raise ValueError(
+            "positions sidecar was built for a different index (fingerprint "
+            "mismatch): rebuild it with build_positions()"
+        )
+    spec = resolve_tokenizer(tokenizer if tokenizer is not None else pmeta["tokenizer"])
+
+    qterms = [
+        (int(qid), sorted(set(spec.tokenize(text)))) for qid, text in queries
+    ]
+    all_terms = sorted({t for _, toks in qterms for t in toks})
+    if not all_terms:
+        return PROX_SCHEMA.empty_table()
+
+    ds = read_parquet_clean(
+        os.path.join(pos_dir, "parts"),
+        columns=["block", "term", "doc_ids", "positions"],
+        filter=pc.field("term").isin(all_terms),
+    )
+    out = ds.groupby("block").map_groups(
+        _proximity_block, fn_args=(qterms, int(slop)), batch_format="pyarrow"
+    )
+    tables = list(out.iter_batches(batch_format="pyarrow"))
+    tables = [t.select(PROX_SCHEMA.names) for t in tables if t.num_rows]
+    table = pa.concat_tables(tables) if tables else PROX_SCHEMA.empty_table()
+    return table.cast(PROX_SCHEMA).sort_by(
+        [("query_id", "ascending"), ("doc_id", "ascending")]
+    )
+
+
+def proximity_queries(tpath: str, n: int = 10) -> list[tuple[int, str]]:
+    """Deterministic proximity query set drawn from the corpus: for the
+    j-th strided row, 2 terms (every other j: 3) sampled from distinct
+    token positions so each query has at least one co-occurring doc."""
+    from .phrase import phrase_queries  # reuse the strided row reader
+
+    base = phrase_queries(tpath, n=n)
+    out: list[tuple[int, str]] = []
+    for qid, text in base:
+        toks = text.split()
+        # spread the terms: first + last token of the sampled window, plus
+        # the middle one for odd qids when available
+        terms = [toks[0], toks[-1]] if len(toks) >= 2 else toks
+        if qid % 2 and len(toks) >= 3:
+            terms = toks[:3]
+        out.append((qid, " ".join(terms)))
+    return out
+
+
 def phrase_search_positional(
     index_dir: str, phrases: list[tuple[int, str]], tokenizer=None
 ) -> pa.Table:

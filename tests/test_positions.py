@@ -159,3 +159,51 @@ def test_positions_missing_sidecar_raises(ray_session, tmp_path):
     build_index(tpath, idx, BuildConfig(num_partitions=2))
     with pytest.raises(FileNotFoundError, match="_SUCCESS"):
         phrase_search_positional(idx, [(0, "hello world")])
+
+
+def test_min_span_matches_bruteforce():
+    """k-pointer minimal covering range == min over the occurrence cross
+    product (the SQL twin's formulation), on random position sets."""
+    import itertools
+
+    from pageindex_ray.pipelines.positions import _min_span
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        k = int(rng.integers(1, 4))
+        lists = [
+            np.sort(rng.choice(30, size=rng.integers(1, 5), replace=False)).astype(np.int64)
+            for _ in range(k)
+        ]
+        brute = min(
+            max(t) - min(t) for t in itertools.product(*[l.tolist() for l in lists])
+        )
+        assert _min_span(lists) == brute
+
+
+def test_proximity_search_semantics(ray_session, tmp_path):
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.positions import build_positions, proximity_search
+
+    rows = {
+        "conv_id": ["c0", "c0", "c1"],
+        "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+        "role": ["user", "assistant", "user"],
+        "text": [
+            "alpha x x x beta",        # span 4
+            "beta alpha",              # span 1 (unordered)
+            "alpha x x x x x x x beta" # span 8 > slop 7 -> excluded
+        ],
+        "tool": pa.array([None, None, None], type=pa.string()),
+        "ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+    }
+    tpath = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table(rows), tpath)
+    idx = str(tmp_path / "idx")
+    build_index(tpath, idx, BuildConfig(num_partitions=4))
+    build_positions(idx, tpath)
+    out = proximity_search(idx, [(0, "alpha beta"), (1, "alpha alpha")], slop=7)
+    got = {(r["query_id"], r["doc_id"]): r["span"] for r in out.to_pylist()}
+    # duplicate tokens dedupe to a single term -> span 0 wherever it occurs
+    assert got == {(0, 0): 4, (0, 1): 1, (1, 0): 0, (1, 1): 0, (1, 2): 0}
