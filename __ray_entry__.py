@@ -816,6 +816,31 @@ def _q_proximity_search(sf_dir: str):
     return proximity_search(idx, proximity_queries(tpath), slop=7)
 
 
+def _q_query_string(sf_dir: str):
+    """Lucene query-string language compiled onto the whole retrieval
+    surface: +must / -must_not / should terms, "exact phrase" (positional
+    sidecar), prefix* dictionary expansion — one deterministic mixed set
+    derived from the fixed queries (pipelines/querystring.py grammar is the
+    single source shared with the SQL twin)."""
+    from pageindex_ray.pipelines.phrase import phrase_queries
+    from pageindex_ray.pipelines.positions import build_positions
+    from pageindex_ray.pipelines.querystring import derive_query_strings
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    build_positions(idx, tpath)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        items = derive_query_strings(
+            _load_queries(sf_dir), phrase_queries(tpath), eng.tokenize
+        )
+        out = eng.query_string_batch(items, k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_more_like_this(sf_dir: str):
     from pageindex_ray.pipelines.mlt import mlt_source_docs, more_like_this
     from pageindex_ray.pipelines.search import SearchEngine
@@ -884,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "phrase_search_pos": _q_phrase_search_pos,
         "proximity_search": _q_proximity_search,
+        "query_string": _q_query_string,
         "more_like_this": _q_more_like_this,
     }
 
@@ -1033,6 +1059,128 @@ def _proximity_sql(tpath: str = _TPATH, queries=None, slop: int = 7) -> str:
     return sql
 
 
+def _query_string_sql(tpath: str = _TPATH, qpath: str = _QPATH, derived=None) -> str:
+    """Twin of SearchEngine.query_string_batch: per derived query string,
+    the clause structure comes from the SAME parser; scoring terms = the
+    literal set UNION the prefix expansion (df desc, term asc, cap 64);
+    must/must_not via EXISTS probes on tf; phrase in/exclusion via contains
+    on the sentinel-joined token string; top-10 under (score desc, doc_id)."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.phrase import phrase_queries
+    from pageindex_ray.pipelines.querystring import (
+        derive_query_strings,
+        parse_query_string,
+    )
+    from pageindex_ray.tokenizer import tokenize
+
+    memo_key = ("qstring", tpath, qpath) if derived is None else None
+    if memo_key and memo_key in _SQL_MEMO:
+        return _SQL_MEMO[memo_key]
+    if derived is None:
+        qt = pq.read_table(qpath)
+        queries = list(
+            zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+        )
+        derived = derive_query_strings(queries, phrase_queries(tpath), tokenize)
+
+    blocks = []
+    for qid, qs in derived:
+        s = parse_query_string(qs, tokenize)
+        srcs = []
+        lits = s.score_literals()
+        if lits:
+            srcs.append(
+                "SELECT unnest(["
+                + ", ".join(f"'{t}'" for t in lits)
+                + "]) AS term"
+            )
+        for p in s.prefixes:
+            srcs.append(
+                "SELECT term FROM (SELECT dft.term, row_number() OVER "
+                "(ORDER BY dft.df DESC, dft.term ASC) AS rn FROM dft "
+                f"WHERE starts_with(dft.term, '{p}')) WHERE rn <= 64"
+            )
+        for fz in s.fuzzies:
+            srcs.append(
+                "SELECT term FROM (SELECT dft.term, row_number() OVER "
+                "(ORDER BY dft.df DESC, dft.term ASC) AS rn FROM dft "
+                f"WHERE levenshtein(dft.term, '{fz}') <= 1) WHERE rn <= 64"
+            )
+        if not srcs:
+            continue
+        conds = []
+        for t in s.must:
+            conds.append(
+                f"EXISTS (SELECT 1 FROM tf WHERE tf.term = '{t}' AND tf.doc_id = sc.doc_id)"
+            )
+        for t in s.must_not:
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM tf WHERE tf.term = '{t}' AND tf.doc_id = sc.doc_id)"
+            )
+        for ph in s.phrases:
+            needle = " " + " ".join(ph) + " "
+            conds.append(
+                f"EXISTS (SELECT 1 FROM j WHERE j.doc_id = sc.doc_id AND contains(j.jt, '{needle}'))"
+            )
+        for ph in s.not_phrases:
+            needle = " " + " ".join(ph) + " "
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM j WHERE j.doc_id = sc.doc_id AND contains(j.jt, '{needle}'))"
+            )
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        blocks.append(
+            f"""
+SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(rnk - 1 AS INTEGER) AS rank, doc_id
+FROM (
+  SELECT sc.doc_id,
+         row_number() OVER (ORDER BY sc.score DESC, sc.doc_id ASC) AS rnk
+  FROM (
+    SELECT tf.doc_id,
+           sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                * tf.tf * 2.5
+                / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl
+                                  / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+    FROM (SELECT DISTINCT term FROM ({' UNION ALL '.join(srcs)})) q
+    JOIN tf ON tf.term = q.term
+    JOIN dft ON dft.term = tf.term
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+  ) sc
+  {where}
+) WHERE rnk <= 10
+"""
+        )
+    toks = SQL_TOKENIZE.format(col="text")
+    sql = f"""
+        WITH base AS (
+          SELECT conv_id, turn_idx, {toks} AS toks
+          FROM read_parquet('{tpath}')
+        ), docs AS (
+          SELECT toks, len(toks) AS dl,
+                 (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+          FROM base
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS total FROM docs
+        ), tok AS (
+          SELECT doc_id, dl, unnest(toks) AS term FROM docs
+        ), tf AS (
+          SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+          FROM tok GROUP BY term, doc_id
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), j AS (
+          SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS jt
+          FROM docs WHERE len(toks) > 0
+        )
+        {' UNION ALL '.join(blocks)}
+    """
+    if memo_key:
+        _SQL_MEMO[memo_key] = sql
+    return sql
+
+
 def _more_like_this_sql(tpath: str = _TPATH, sources=None) -> str:
     """Twin of pipelines/mlt.py: top-5 tf-idf terms of each source doc
     (salience desc, term asc — the same double expression as engine.idf),
@@ -1102,6 +1250,7 @@ def _oracle_sqls() -> dict[str, str]:
         "phrase_search": _phrase_search_sql(),
         "phrase_search_pos": _phrase_search_sql(),
         "proximity_search": _proximity_sql(),
+        "query_string": _query_string_sql(),
         "more_like_this": _more_like_this_sql(),
         "docmap": f"""
             SELECT conv_id, turn_idx,

@@ -98,6 +98,14 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--index", required=True)
     ph.add_argument("--query", required=True, help="the phrase text")
 
+    qy = sub.add_parser(
+        "query",
+        help='query-string search: +must -not "phrase" pre* fuzzy~ should',
+    )
+    qy.add_argument("--index", required=True)
+    qy.add_argument("--query", required=True)
+    qy.add_argument("-k", type=int, default=10)
+
     st = sub.add_parser(
         "stored", help="build the stored-fields store (snippets / doc hydration)"
     )
@@ -215,6 +223,12 @@ def main(argv: list[str] | None = None) -> int:
 
             t = phrase_search_positional(args.index, [(0, args.query)])
             print(json.dumps(t.drop_columns(["query_id"]).to_pylist()))
+        elif args.cmd == "query":
+            from .pipelines.search import SearchEngine
+
+            eng = SearchEngine(args.index)
+            print(json.dumps(eng.query_string(args.query, k=args.k)))
+            eng.shutdown()
         elif args.cmd == "stored":
             from .pipelines.stored import build_stored_fields
 

@@ -92,6 +92,7 @@ class SearchEngine:
     def __init__(
         self, index_dir: str, num_shards: int = 8, num_scorers: int | str = "auto"
     ):
+        self.index_dir = index_dir
         self.meta = load_meta(index_dir)
         # Serving a truncated index would silently return empty postings for
         # every term hashed to a lost partition: verify the commit marker and
@@ -1043,9 +1044,14 @@ class SearchEngine:
             return None
         return must_t, sorted(set(must_t) | set(should_t)), mustnot_t
 
-    def _boolean_topk_driver(self, must_t, score_terms, mustnot_t, k):
+    def _boolean_topk_driver(
+        self, must_t, score_terms, mustnot_t, k, include_ids=(), exclude_ids=()
+    ):
         """Driver-path boolean top-k: one cached-array fetch, membership by
-        searchsorted probes over the sorted posting ids (no set objects)."""
+        searchsorted probes over the sorted posting ids (no set objects).
+        ``include_ids`` / ``exclude_ids`` are extra sorted doc-id arrays a
+        candidate must / must not belong to (phrase constraints from the
+        query-string path)."""
         arrays = self._term_arrays(sorted(set(score_terms) | set(mustnot_t)))
         if any(t not in arrays for t in must_t):
             return None  # a must term absent from the index: no candidates
@@ -1064,6 +1070,10 @@ class SearchEngine:
                 ids = arrays[t][0]
                 pos = np.minimum(np.searchsorted(ids, docs), len(ids) - 1)
                 keep &= ids[pos] != docs
+        for ids in include_ids:
+            keep &= membership_mask(np.asarray(ids, dtype=np.int64), docs)
+        for ids in exclude_ids:
+            keep &= ~membership_mask(np.asarray(ids, dtype=np.int64), docs)
         docs, scores = docs[keep], scores[keep]
         if not len(docs):
             return None
@@ -1180,6 +1190,159 @@ class SearchEngine:
                 "turn_idx": pa.array(cols["turn_idx"], type=pa.int32()),
             }
         )
+
+    # ------------------------------------------------------------ query string
+
+    def query_string_batch(
+        self, items: list[tuple[int, str]], k: int = 10, max_expansions: int = 64
+    ) -> pa.Table:
+        """Lucene-style query strings (pipelines/querystring.py grammar):
+        ``+must -not "exact phrase" pre* fuzzy~ should`` — compiled onto the
+        engine's primitives in one batch:
+
+        * ONE shard fan-out expands all prefix/fuzzy clauses,
+        * ONE positional-sidecar pass answers all phrase clauses
+          (requires build_positions(); raises with guidance otherwise),
+        * scoring = BM25 sum over (must + should + positive-phrase terms +
+          expansions), candidates filtered by must/must_not membership and
+          phrase in/exclusion — same accumulation and tie-break as every
+          scored path.
+
+        Phrase-free queries ride the distributed boolean path when the
+        scorer pool exists; phrase-constrained queries score on the driver
+        with the phrase doc sets as membership masks (the distributed
+        extension ships those masks per range exactly like where= filters —
+        driver-side today, documented rather than silent).
+        Output schema: query_id, rank, doc_id, score, conv_id, turn_idx."""
+        from .querystring import parse_query_string
+
+        specs = [(int(qid), parse_query_string(qs, self.tokenize)) for qid, qs in items]
+
+        # batched dictionary expansions (one shard round-trip per kind)
+        pflat = [p for _, s in specs for p in s.prefixes]
+        fflat = [f for _, s in specs for f in s.fuzzies]
+        pex = self._expand_batch("expand_prefix", pflat, max_expansions) if pflat else []
+        fex = self._expand_batch("expand_edit1", fflat, max_expansions) if fflat else []
+
+        # batched phrase doc sets from the positional sidecar
+        phrase_reqs: list[tuple[int, str]] = []
+        req_of: list[tuple[int, int]] = []  # spec index -> request ids
+        phrase_of_spec: list[tuple[list[int], list[int]]] = []
+        for si, (_, s) in enumerate(specs):
+            inc, exc = [], []
+            for ph in s.phrases:
+                inc.append(len(phrase_reqs))
+                phrase_reqs.append((len(phrase_reqs), " ".join(ph)))
+            for ph in s.not_phrases:
+                exc.append(len(phrase_reqs))
+                phrase_reqs.append((len(phrase_reqs), " ".join(ph)))
+            phrase_of_spec.append((inc, exc))
+        ids_by_req: dict[int, np.ndarray] = {}
+        if phrase_reqs:
+            from .positions import phrase_search_positional, positions_dir_of
+
+            if not os.path.exists(
+                os.path.join(positions_dir_of(self.index_dir), "_SUCCESS")
+            ):
+                raise ValueError(
+                    "query strings with phrase clauses require the positional "
+                    "sidecar: run build_positions() (or `python -m pageindex_ray "
+                    "positions`) on this index first"
+                )
+            ptab = phrase_search_positional(self.index_dir, phrase_reqs)
+            rq = ptab.column("query_id").to_numpy()
+            rd = ptab.column("doc_id").to_numpy()
+            for rid in np.unique(rq):
+                ids_by_req[int(rid)] = np.sort(rd[rq == rid]).astype(np.int64)
+
+        empty = np.empty(0, dtype=np.int64)
+        parsed_all: list[tuple | None] = []
+        masks_all: list[tuple[list, list]] = []
+        for si, (qid, s) in enumerate(specs):
+            # re-associate this spec's expansions (specs hold DISTINCT
+            # patterns, so index() lookup into the flat request list is safe)
+            exp_terms: set[str] = set()
+            for p in s.prefixes:
+                exp_terms.update(pex[pflat.index(p)])
+            for f in s.fuzzies:
+                exp_terms.update(fex[fflat.index(f)])
+            score_terms = sorted(set(s.score_literals()) | exp_terms)
+            must_t = list(s.must)
+            mustnot_t = list(s.must_not)
+            inc_ids, exc_ids = phrase_of_spec[si]
+            include = [ids_by_req.get(r, empty) for r in inc_ids]
+            exclude = [ids_by_req.get(r, empty) for r in exc_ids]
+            if set(must_t) & set(mustnot_t) or not score_terms:
+                parsed_all.append(None)
+                masks_all.append(([], []))
+                continue
+            parsed_all.append((qid, must_t, score_terms, mustnot_t))
+            masks_all.append((include, exclude))
+
+        # dispatch: mask-free queries can use the distributed boolean path
+        results: list = [None] * len(specs)
+        dist = [
+            p
+            for p, (inc, exc) in zip(parsed_all, masks_all)
+            if p is not None and not inc and not exc
+        ]
+        if self.scorers and dist:
+            by_qid = self._boolean_batch_distributed(dist, k)
+        else:
+            by_qid = None
+        driver_terms = sorted(
+            {
+                t
+                for p, (inc, exc) in zip(parsed_all, masks_all)
+                if p is not None and (by_qid is None or inc or exc)
+                for t in set(p[2]) | set(p[3])
+            }
+        )
+        if driver_terms:
+            self._term_arrays(driver_terms)  # one bulk fetch warms the cache
+        for i, (p, (inc, exc)) in enumerate(zip(parsed_all, masks_all)):
+            if p is None:
+                continue
+            if by_qid is not None and not inc and not exc:
+                results[i] = by_qid.get(p[0])
+            else:
+                results[i] = self._boolean_topk_driver(
+                    p[1], p[2], p[3], k, include_ids=inc, exclude_ids=exc
+                )
+
+        qids: list[int] = []
+        ranks: list[int] = []
+        cols: dict[str, list] = defaultdict(list)
+        for (qid, _), res in zip(specs, results):
+            if res is None:
+                continue
+            docs, scores = res
+            convs, turns = self.doc_location(docs)
+            n = len(docs)
+            cols["doc_id"].extend(docs.tolist())
+            cols["score"].extend(scores.tolist())
+            cols["conv_id"].extend(convs.tolist())
+            cols["turn_idx"].extend(turns.tolist())
+            qids.extend([qid] * n)
+            ranks.extend(range(n))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+                "score": pa.array(cols["score"], type=pa.float64()),
+                "conv_id": pa.array(cols["conv_id"], type=pa.string()),
+                "turn_idx": pa.array(cols["turn_idx"], type=pa.int32()),
+            }
+        )
+
+    def query_string(self, qs: str, k: int = 10, max_expansions: int = 64) -> list[dict]:
+        """Single-query form of ``query_string_batch``."""
+        t = self.query_string_batch([(0, qs)], k=k, max_expansions=max_expansions)
+        return [
+            {k_: v for k_, v in row.items() if k_ != "query_id"}
+            for row in t.to_pylist()
+        ]
 
     def doc_location(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         idx = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1

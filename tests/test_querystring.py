@@ -1,0 +1,149 @@
+"""Query-string language: grammar, composition equivalences against the
+dedicated paths, and phrase in/exclusion semantics."""
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pageindex_ray.pipelines.querystring import parse_query_string
+from pageindex_ray.tokenizer import tokenize
+
+
+def test_parser_clauses():
+    s = parse_query_string('+alpha -beta "gamma delta" -"eps zeta" pre* fuz~ bare', tokenize)
+    assert s.must == ("alpha",)
+    assert s.must_not == ("beta",)
+    assert s.phrases == (("gamma", "delta"),)
+    assert s.not_phrases == (("eps", "zeta"),)
+    assert s.prefixes == ("pre",)
+    assert s.fuzzies == ("fuz",)
+    assert s.should == ("bare",)
+    # scoring literals: must + should + positive-phrase tokens, sorted
+    assert s.score_literals() == ("alpha", "bare", "delta", "gamma")
+
+
+def test_parser_multi_token_terms_and_dedup():
+    s = parse_query_string("+don't +apple Apple", tokenize)
+    assert s.must == ("apple", "don", "t")
+    assert s.should == ("apple",)
+
+
+def test_parser_errors():
+    with pytest.raises(ValueError, match="unbalanced quote"):
+        parse_query_string('alpha "unterminated', tokenize)
+    with pytest.raises(ValueError, match="prefix clauses"):
+        parse_query_string("+pre*", tokenize)
+    with pytest.raises(ValueError, match="fuzzy clauses"):
+        parse_query_string("-fuz~", tokenize)
+    with pytest.raises(ValueError, match="one token"):
+        parse_query_string("a.b*", tokenize)
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, built_index):
+    from pageindex_ray.pipelines.positions import build_positions
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    build_positions(built_index["index_dir"], built_index["transcripts"])
+    eng = SearchEngine(built_index["index_dir"], num_shards=4)
+    yield eng
+    eng.shutdown()
+
+
+def _qtext(built_index) -> str:
+    t = pq.read_table(built_index["queries"])
+    for text in t.column("text").to_pylist():
+        if len(set(tokenize(text))) >= 2:
+            return text
+    raise AssertionError("no multi-token query in fixture set")
+
+
+def test_should_only_equals_plain_search(engine, built_index):
+    text = _qtext(built_index)
+    via_qs = engine.query_string(text, k=10)
+    via_search = engine.search(text, k=10)
+    assert [(r["doc_id"], r["score"]) for r in via_qs] == [
+        (r["doc_id"], r["score"]) for r in via_search
+    ]
+
+
+def test_prefix_only_equals_prefix_search(engine):
+    via_qs = engine.query_string("w00*", k=10)
+    via_px = engine.prefix_search("w00", k=10, max_expansions=64)
+    assert [(r["doc_id"], r["score"]) for r in via_qs] == [
+        (r["doc_id"], r["score"]) for r in via_px
+    ]
+
+
+def test_fuzzy_only_equals_fuzzy_search(engine, built_index):
+    term = sorted({t for t in tokenize(_qtext(built_index)) if len(t) >= 5})
+    if not term:
+        pytest.skip("no long token in fixture queries")
+    via_qs = engine.query_string(f"{term[0]}~", k=10)
+    via_fz = engine.fuzzy_search(term[0], k=10, max_expansions=64)
+    assert [(r["doc_id"], r["score"]) for r in via_qs] == [
+        (r["doc_id"], r["score"]) for r in via_fz
+    ]
+
+
+def test_boolean_clauses_equal_boolean_search(engine, built_index):
+    toks = sorted(set(tokenize(_qtext(built_index))))
+    qs = f"+{toks[0]} {' '.join(toks[1:])}"
+    via_qs = engine.query_string(qs, k=10)
+    via_bool = engine.boolean_search(must=[toks[0]], should=toks[1:], k=10)
+    assert [(r["doc_id"], r["score"]) for r in via_qs] == [
+        (r["doc_id"], r["score"]) for r in via_bool
+    ]
+
+
+def test_phrase_clause_filters_and_scores(ray_session, tmp_path):
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.positions import build_positions
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    rows = {
+        "conv_id": ["c0", "c0", "c1", "c1"],
+        "turn_idx": pa.array([0, 1, 0, 1], type=pa.int32()),
+        "role": ["user", "assistant", "user", "assistant"],
+        "text": [
+            "red fox jumps",      # doc 0: phrase 'red fox' + jumps
+            "fox red jumps",      # doc 1: terms but not the phrase
+            "red fox sleeps",     # doc 2: phrase, no jumps
+            "nothing here",       # doc 3
+        ],
+        "tool": pa.array([None] * 4, type=pa.string()),
+        "ts": pa.array([1, 2, 3, 4], type=pa.timestamp("us")),
+    }
+    tpath = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table(rows), tpath)
+    idx = str(tmp_path / "idx")
+    build_index(tpath, idx, BuildConfig(num_partitions=4))
+    build_positions(idx, tpath)
+    eng = SearchEngine(idx, num_shards=2)
+    try:
+        hits = eng.query_string('"red fox"', k=10)
+        assert sorted(r["doc_id"] for r in hits) == [0, 2]
+        hits = eng.query_string('+jumps "red fox"', k=10)
+        assert [r["doc_id"] for r in hits] == [0]
+        hits = eng.query_string('red -"red fox"', k=10)
+        assert sorted(r["doc_id"] for r in hits) == [1]
+        # contradictory must/must_not -> empty
+        assert eng.query_string("+red -red", k=10) == []
+        # phrase clause without the sidecar raises with guidance
+        import shutil
+
+        shutil.rmtree(os.path.join(idx, "positions"))
+        eng2 = SearchEngine(idx, num_shards=2)
+        try:
+            with pytest.raises(ValueError, match="positional"):
+                eng2.query_string('"red fox"', k=10)
+        finally:
+            eng2.shutdown()
+    finally:
+        eng.shutdown()
