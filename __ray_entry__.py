@@ -174,6 +174,37 @@ def _q_bm25_wand_topk(sf_dir: str):
         eng.shutdown()
 
 
+def _q_lm_topk(sf_dir: str):
+    """Dirichlet language-model similarity over the SAME index/query set as
+    bm25_topk: the engine's second pluggable ranker (per-posting contribution
+    ln(1 + tf/(mu*cf/T)) + ln(mu/(dl+mu)), mu=2000). Exercises the cf column
+    the postings schema has carried since round 2."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        out = eng.lm_search_batch(_load_queries(sf_dir), k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def _q_rrf_topk(sf_dir: str):
+    """Reciprocal-rank fusion of the BM25 and Dirichlet-LM top-50 lists
+    (k=10, c=60): the hybrid-retrieval combinator, rank-exact vs the SQL
+    twin because fusion consumes integer ranks, not float scores."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        out = eng.rrf_search_batch(_load_queries(sf_dir), k=10, depth=50)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_bm25_conv_topk(sf_dir: str):
     import pyarrow as pa
 
@@ -861,6 +892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_wand_topk": _q_bm25_wand_topk,
+        "lm_topk": _q_lm_topk,
+        "rrf_topk": _q_rrf_topk,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -960,6 +993,55 @@ WITH base AS (
   GROUP BY q.query_id, tf.doc_id
 )
 """
+
+# Dirichlet-LM scored CTE: identical corpus CTEs as _BM25_CORE plus the
+# collection-frequency table; expression order mirrors
+# SearchEngine._term_arrays_lm term-for-term (mu = 2000).
+_LM_CORE = f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT conv_id, turn_idx, toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, conv_id, turn_idx, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(conv_id) AS conv_id, any_value(turn_idx) AS turn_idx,
+         any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), cft AS (
+  SELECT term, count(*) AS cf FROM tok GROUP BY term
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), lm_scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + tf.tf / (2000.0 * (cft.cf / CAST(s.total AS DOUBLE))))
+              + ln(2000.0 / (tf.dl + 2000.0)) ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN cft ON cft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+), bm_scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sqls()
@@ -1280,6 +1362,37 @@ def _oracle_sqls() -> dict[str, str]:
                    doc_id
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "lm_topk": _LM_CORE + """
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+                   doc_id
+            FROM lm_scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "rrf_topk": _LM_CORE + """
+            , bm AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r
+              FROM bm_scored
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 50
+            ), lm AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r
+              FROM lm_scored
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 50
+            ), fused AS (
+              SELECT coalesce(bm.query_id, lm.query_id) AS query_id,
+                     coalesce(bm.doc_id, lm.doc_id) AS doc_id,
+                     coalesce(1.0 / (60.0 + bm.r), 0.0) + coalesce(1.0 / (60.0 + lm.r), 0.0) AS rrf_score
+              FROM bm FULL OUTER JOIN lm
+                ON bm.query_id = lm.query_id AND bm.doc_id = lm.doc_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+                   doc_id
+            FROM fused
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) <= 10
         """,
         "bm25_segment_topk": _BM25_CORE + """
             , seg AS (

@@ -153,6 +153,11 @@ class SearchEngine:
         # Zipfian query streams hit the same hot terms constantly; bounded by
         # element count.
         self._decoded: dict[str, tuple | None] = {}
+        # language-model (Dirichlet) contribution cache: (term, mu) ->
+        # (doc_ids, contribs) | None — kept separate from the BM25 cache
+        # because the two similarities bake different per-posting floats
+        self._decoded_lm: dict[tuple, tuple | None] = {}
+        self.total_tokens = int(self.meta["total_tokens"])
         self._cache_elems = 0
         self._cache_budget = 512_000_000
         # term -> global df (summed across shards) | None if absent
@@ -316,6 +321,58 @@ class SearchEngine:
                 self._cache_elems += 2 * len(ids)
         if self._cache_elems > self._cache_budget:
             self._decoded.clear()
+            self._decoded_lm.clear()
+            self._cache_elems = 0
+        return {t: v for t in terms if (v := local.get(t)) is not None}
+
+    def _term_arrays_lm(self, terms: list[str], mu: float) -> dict[str, tuple]:
+        """Decoded (doc_ids, contribs) per term under the Dirichlet
+        language-model similarity (Zhai & Lafferty 2001; the formulation
+        Lucene ships as LMDirichletSimilarity, without its max(0,·) clamp so
+        scores stay a pure log-probability sum):
+
+            contrib(t, d) = ln(1 + tf / (mu * cf_t / T)) + ln(mu / (dl + mu))
+
+        cf_t is the term's GLOBAL collection frequency (salted sub-lists
+        ship partition-local cf; summed here — same pattern as df for idf)
+        and T the corpus token total from the build meta. Both logs are per
+        posting, so merging salted sub-lists before or after scoring is
+        bit-identical; accumulation order is fixed by _exhaustive."""
+        local: dict[str, tuple | None] = {}
+        missing = []
+        for t in terms:
+            key = (t, mu)
+            if key in self._decoded_lm:
+                local[t] = self._decoded_lm[key]
+            else:
+                missing.append(t)
+        if missing:
+            fetched = self._fetch(missing, "fetch_lm")
+            for t in missing:
+                infos = fetched.get(t)
+                if not infos:
+                    local[t] = None
+                    self._decoded_lm[(t, mu)] = None
+                    continue
+                if len(infos) == 1:
+                    ids, tf, dl = infos[0]["ids"], infos[0]["tf"], infos[0]["dl"]
+                else:
+                    ids = np.concatenate([i["ids"] for i in infos])
+                    tf = np.concatenate([i["tf"] for i in infos])
+                    dl = np.concatenate([i["dl"] for i in infos])
+                    order = np.argsort(ids, kind="stable")
+                    ids, tf, dl = ids[order], tf[order], dl[order]
+                cf = float(sum(info["cf"] for info in infos))
+                # expression order mirrors the DuckDB twin term-for-term
+                contrib = np.log(1.0 + tf / (mu * (cf / float(self.total_tokens)))) + np.log(
+                    mu / (dl + mu)
+                )
+                local[t] = (ids, contrib)
+                self._decoded_lm[(t, mu)] = (ids, contrib)
+                self._cache_elems += 2 * len(ids)
+        if self._cache_elems > self._cache_budget:
+            self._decoded.clear()
+            self._decoded_lm.clear()
             self._cache_elems = 0
         return {t: v for t in terms if (v := local.get(t)) is not None}
 
@@ -769,6 +826,133 @@ class SearchEngine:
         elif granularity == "segment":
             cols["seg_start"] = pa.array(parts["seg_start"], type=pa.int64())
         return pa.table(cols)
+
+    # ------------------------------------- language-model similarity + fusion
+
+    def _lm_topk_turn(self, terms: list[str], k: int, mu: float):
+        """Turn-granularity top-k under Dirichlet LM scoring. Always
+        exhaustive: WAND's per-block max-factor metadata upper-bounds the
+        BM25 factor only (LM bounds would need per-block min-dl/max-tf under
+        every mu — a build-time change not worth it while LM serves as the
+        second ranker of the fusion pair)."""
+        arrays = self._term_arrays_lm(terms, mu)
+        if not arrays:
+            return None
+        d, s = self._exhaustive(arrays)
+        d, s = self._drop_deleted(d, s)
+        if not len(d):
+            return None
+        return topk_from_scores(d, s, k)
+
+    def lm_search(self, query_text: str, k: int = 10, mu: float = 2000.0) -> list[dict]:
+        """Top-k turns under the Dirichlet language-model similarity — the
+        engine's second pluggable ranking (same postings, same tie-break;
+        only the per-posting contribution changes). Reference analogue: the
+        reference lets the LLM re-rank tree nodes by a different notion of
+        relevance than lexical overlap (/root/reference/pageindex/utils.py
+        relevance prompts); the deterministic engine form is a second
+        statistical similarity over the same index."""
+        res = self._lm_topk_turn(sorted(set(self.tokenize(query_text))), k, mu)
+        if res is None:
+            return []
+        docs, scores = res
+        convs, turns = self.doc_location(docs)
+        return [
+            {
+                "rank": r,
+                "doc_id": int(docs[r]),
+                "score": float(scores[r]),
+                "conv_id": str(convs[r]),
+                "turn_idx": int(turns[r]),
+            }
+            for r in range(len(docs))
+        ]
+
+    def lm_search_batch(
+        self, queries: list[tuple[int, str]], k: int = 10, mu: float = 2000.0
+    ) -> pa.Table:
+        """Batch form of ``lm_search``: one bulk shard fetch+decode warms
+        the LM cache for every query's terms, then per-query accumulation.
+        Output: query_id, rank, doc_id, score, conv_id, turn_idx."""
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        self._term_arrays_lm(sorted({t for _, ts in per_query for t in ts}), mu)
+        qids, ranks, parts = [], [], defaultdict(list)
+        for qid, terms in per_query:
+            res = self._lm_topk_turn(terms, k, mu)
+            if res is None:
+                continue
+            docs, scores = res
+            convs, turns = self.doc_location(docs)
+            parts["doc_id"].extend(docs.tolist())
+            parts["score"].extend(scores.tolist())
+            parts["conv_id"].extend(convs.tolist())
+            parts["turn_idx"].extend(turns.tolist())
+            qids.extend([qid] * len(docs))
+            ranks.extend(range(len(docs)))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(parts["doc_id"], type=pa.int64()),
+                "score": pa.array(parts["score"], type=pa.float64()),
+                "conv_id": pa.array(parts["conv_id"], type=pa.string()),
+                "turn_idx": pa.array(parts["turn_idx"], type=pa.int32()),
+            }
+        )
+
+    def rrf_search_batch(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        depth: int = 50,
+        c: float = 60.0,
+        mu: float = 2000.0,
+    ) -> pa.Table:
+        """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+        engine's two rankers: BM25 and Dirichlet-LM, each contributing its
+        top-``depth`` list; fused score = sum over lists containing the doc
+        of 1/(c + rank_1based). Both input rankings and the fused output use
+        the exact (score desc, doc_id asc) tie-break, so the result is
+        deterministic end-to-end and a DuckDB twin reproduces it row-for-row
+        (ranks are integers — fusion sidesteps float-sum tolerance
+        entirely). This is the hybrid-retrieval shape used to combine
+        lexical and embedding rankings at scale; the two lists here come
+        from the same index, so the queries() entry exercises fusion logic
+        with zero extra infrastructure. Output: query_id, rank, doc_id,
+        rrf_score."""
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        all_terms = sorted({t for _, ts in per_query for t in ts})
+        self._term_arrays(all_terms)
+        self._term_arrays_lm(all_terms, mu)
+        qids, ranks, out_docs, out_scores = [], [], [], []
+        for qid, terms in per_query:
+            fused: dict[int, float] = defaultdict(float)
+            for res in (
+                self._topk_turn(terms, depth, use_wand=False),
+                self._lm_topk_turn(terms, depth, mu),
+            ):
+                if res is None:
+                    continue
+                docs, _ = res
+                for r, d in enumerate(docs.tolist()):
+                    fused[d] += 1.0 / (c + (r + 1))
+            if not fused:
+                continue
+            docs = np.fromiter(fused.keys(), dtype=np.int64, count=len(fused))
+            scores = np.fromiter(fused.values(), dtype=np.float64, count=len(fused))
+            d, s = topk_from_scores(docs, scores, k)
+            out_docs.extend(d.tolist())
+            out_scores.extend(s.tolist())
+            qids.extend([qid] * len(d))
+            ranks.extend(range(len(d)))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(out_docs, type=pa.int64()),
+                "rrf_score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
 
     # ------------------------------------------------------------------ facets
 

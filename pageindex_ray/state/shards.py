@@ -72,6 +72,8 @@ class PostingShard:
                 self.terms.setdefault(term, []).append(info)
         # decoded (ids, factor) cache, bounded by element count
         self._scored: dict[str, list[dict]] = {}
+        # decoded raw-stat cache for language-model scoring (ids, tf, dl)
+        self._lm: dict[str, list[dict]] = {}
         self._cache_elems = 0
         self._cache_budget = 256_000_000
         # lazy vocabulary-scan structures (prefix / fuzzy expansion)
@@ -283,6 +285,43 @@ class PostingShard:
                 )
             if slices:
                 out[t] = slices
+        return out
+
+    def fetch_lm(self, terms: list[str]) -> dict[str, list[dict]]:
+        """term -> list of {part, df, cf, ids, tf, dl} sub-lists with
+        float64 tf/dl, decoded in the shard. Raw statistics (not a baked
+        factor) because language-model similarities combine tf with the
+        term's GLOBAL collection frequency — for a salted hot term that is
+        the sum of per-sub-list cf across shards, so only the caller can
+        finalize the score. One decode per term, cached alongside BM25's
+        factor cache under the same element budget."""
+        out: dict[str, list[dict]] = {}
+        for t in terms:
+            infos = self.terms.get(t)
+            if infos is None:
+                continue
+            cached = self._lm.get(t)
+            if cached is None:
+                cached = []
+                for info in infos:
+                    ids, tfs, dls = decode_consolidated(info)
+                    cached.append(
+                        {
+                            "part": info["part"],
+                            "df": info["df"],
+                            "cf": info["cf"],
+                            "ids": ids,
+                            "tf": tfs.astype(np.float64),
+                            "dl": dls.astype(np.float64),
+                        }
+                    )
+                    self._cache_elems += 3 * len(ids)
+                if self._cache_elems > self._cache_budget:
+                    self._scored.clear()
+                    self._lm.clear()
+                    self._cache_elems = 0
+                self._lm[t] = cached
+            out[t] = cached
         return out
 
     def _scored_term(self, t: str) -> list[dict] | None:

@@ -1,0 +1,143 @@
+"""Dirichlet-LM similarity + reciprocal-rank fusion.
+
+The LM ranker reuses the index's per-posting (tf, dl) and per-term cf —
+nothing is recomputed from text — so these tests pin (a) score-level
+identity against an independent DuckDB formulation, (b) the salted-hot-term
+merge path (global cf = sum of partition-local cfs), and (c) the fusion
+algebra against a from-scratch reimplementation over the two rankings.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pageindex_ray.tokenizer import SQL_TOKENIZE
+
+MU = 2000.0
+
+LM_SQL = """
+WITH base AS (
+  SELECT conv_id, turn_idx, {toks} AS toks FROM read_parquet('{tpath}')
+), docs AS (
+  SELECT toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS ( SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS ( SELECT doc_id, dl, unnest(toks) AS term FROM docs
+), tf AS ( SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+           FROM tok GROUP BY term, doc_id
+), cft AS ( SELECT term, count(*) AS cf FROM tok GROUP BY term )
+SELECT tf.doc_id,
+       sum( ln(1.0 + tf.tf / ({mu} * (cft.cf / CAST(s.total AS DOUBLE))))
+            + ln({mu} / (tf.dl + {mu})) ) AS score
+FROM tf JOIN cft ON cft.term = tf.term CROSS JOIN stats s
+WHERE tf.term IN ({terms})
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, built_index):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    eng = SearchEngine(built_index["index_dir"], num_shards=4)
+    yield eng
+    eng.shutdown()
+
+
+def _oracle_lm(tpath: str, terms: list[str], k: int):
+    sql = LM_SQL.format(
+        toks=SQL_TOKENIZE.format(col="text"),
+        tpath=tpath,
+        mu=MU,
+        terms=",".join(f"'{t}'" for t in terms),
+        k=k,
+    )
+    df = duckdb.sql(sql).fetchdf()
+    return df["doc_id"].to_numpy(dtype=np.int64), df["score"].to_numpy(dtype=np.float64)
+
+
+def test_lm_scores_match_duckdb(engine, built_index):
+    for q in ["the system tool", "deploy the cluster", "error handling retry"]:
+        terms = sorted(set(engine.tokenize(q)))
+        rows = engine.lm_search(q, k=10)
+        o_docs, o_scores = _oracle_lm(built_index["transcripts"], terms, 10)
+        assert [r["doc_id"] for r in rows] == o_docs.tolist()
+        np.testing.assert_allclose(
+            [r["score"] for r in rows], o_scores, rtol=0, atol=1e-12
+        )
+
+
+def test_lm_salted_hot_term_merges_global_cf(engine, built_index):
+    """A salted hot term's cf is split across sub-lists; the merged score
+    must use the SUMMED cf. Query the hottest indexed term directly."""
+    hot = sorted(engine.hot_terms)
+    if not hot:
+        pytest.skip("tiny index salted no terms")
+    term = hot[0]
+    rows = engine.lm_search(term, k=10)
+    o_docs, o_scores = _oracle_lm(built_index["transcripts"], [term], 10)
+    assert [r["doc_id"] for r in rows] == o_docs.tolist()
+    np.testing.assert_allclose([r["score"] for r in rows], o_scores, rtol=0, atol=1e-12)
+
+
+def test_lm_cache_stable_across_calls(engine):
+    a = engine.lm_search("the system tool", k=10)
+    b = engine.lm_search("the system tool", k=10)  # cache hit path
+    assert a == b
+
+
+def test_lm_absent_and_empty_queries(engine):
+    assert engine.lm_search("zzzzqqqxx", k=5) == []
+    assert engine.lm_search("", k=5) == []
+    assert engine.lm_search("...!!!", k=5) == []
+
+
+def test_rrf_matches_reimplementation(engine, built_index):
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(built_index["queries"])
+    queries = list(
+        zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+    )[:12]
+    depth, c, k = 25, 60.0, 10
+    got = engine.rrf_search_batch(queries, k=k, depth=depth, c=c)
+    got_rows = {
+        (q, r): d
+        for q, r, d in zip(
+            got.column("query_id").to_pylist(),
+            got.column("rank").to_pylist(),
+            got.column("doc_id").to_pylist(),
+        )
+    }
+    for qid, qtext in queries:
+        bm = engine.search(qtext, k=depth)
+        lm = engine.lm_search(qtext, k=depth, mu=MU)
+        fused: dict[int, float] = {}
+        for lst in (bm, lm):
+            for row in lst:
+                fused[row["doc_id"]] = fused.get(row["doc_id"], 0.0) + 1.0 / (
+                    c + row["rank"] + 1
+                )
+        expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (doc, _) in enumerate(expect):
+            assert got_rows.get((qid, r)) == doc, (qid, r)
+
+
+def test_rrf_ranks_are_dense_from_zero(engine, built_index):
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(built_index["queries"])
+    queries = list(
+        zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+    )[:5]
+    tab = engine.rrf_search_batch(queries, k=10)
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for q, r in zip(tab.column("query_id").to_pylist(), tab.column("rank").to_pylist()):
+        by_q[q].append(r)
+    for q, ranks in by_q.items():
+        assert ranks == list(range(len(ranks))), q
