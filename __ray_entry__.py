@@ -319,6 +319,29 @@ def _q_prefix_search(sf_dir: str):
         eng.shutdown()
 
 
+def _q_regex_search(sf_dir: str):
+    """Regex retrieval (Lucene RegexpQuery analogue): per query, the
+    lexicographically-first distinct token t derives the anchored pattern
+    't[:2].*t[-1]' (tokens are alnum runs — no metacharacters to escape);
+    whole-term RE2 match against the dictionary, 64 highest-df expansion
+    cap, multi-term BM25 scoring. Same derivation in the SQL twin via
+    regexp_full_match (DuckDB is RE2 too)."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        items = []
+        for qid, text in _load_queries(sf_dir):
+            toks = sorted(set(eng.tokenize(text)))
+            if toks:
+                items.append((qid, f"{toks[0][:2]}.*{toks[0][-1]}"))
+        out = eng.regex_search_batch(items, k=10, max_expansions=64)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_fuzzy_search(sf_dir: str):
     """Fuzzy retrieval: per query, its lexicographically-first distinct
     token of length >= 5 expands to all dictionary terms within Levenshtein
@@ -900,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_topk": _q_bm25_filtered_topk,
         "facet_counts": _q_facet_counts,
         "prefix_search": _q_prefix_search,
+        "regex_search": _q_regex_search,
         "fuzzy_search": _q_fuzzy_search,
         "snippets": _q_snippets,
         "suggest": _q_suggest,
@@ -1597,6 +1621,59 @@ WITH base AS (
          row_number() OVER (PARTITION BY qp.query_id
                             ORDER BY dft.df DESC, dft.term ASC) AS rn
   FROM qp JOIN dft ON starts_with(dft.term, qp.pfx)
+), exq AS (
+  SELECT query_id, term FROM ex WHERE rn <= 64
+), scored AS (
+  SELECT exq.query_id, tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl
+                                / (CAST(s.total AS DOUBLE) / s.n))) ) AS score
+  FROM exq
+  JOIN tf ON exq.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY exq.query_id, tf.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "regex_search": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qp AS (
+  -- the engine's pattern rule: first-sorted distinct token t ->
+  -- 't[:2].*t[-1]' (tokens are alnum runs, so no regex metacharacters);
+  -- token-less queries drop out (pattern IS NULL)
+  SELECT query_id,
+         substr(t, 1, 2) || '.*' || substr(t, length(t), 1) AS pattern
+  FROM (
+    SELECT query_id,
+           list_sort(list_distinct({SQL_TOKENIZE.format(col='text')}))[1] AS t
+    FROM read_parquet('{_QPATH}')
+  ) WHERE t IS NOT NULL
+), ex AS (
+  SELECT qp.query_id, dft.term,
+         row_number() OVER (PARTITION BY qp.query_id
+                            ORDER BY dft.df DESC, dft.term ASC) AS rn
+  FROM qp JOIN dft ON regexp_full_match(dft.term, qp.pattern)
 ), exq AS (
   SELECT query_id, term FROM ex WHERE rn <= 64
 ), scored AS (

@@ -1129,6 +1129,43 @@ class SearchEngine:
         """Fuzzy retrieval (edit distance <= 1): expand + multi-term score."""
         return self.search_terms(self.expand_fuzzy_terms(term, max_expansions), k, **search_kw)
 
+    def _check_regex(self, pattern: str) -> None:
+        """Validate the RE2 pattern driver-side (one kernel call on an empty
+        array) so a bad pattern raises once here instead of N times across
+        the shard pool."""
+        if not pattern:
+            raise ValueError("empty regex would match the whole vocabulary")
+        import pyarrow.compute as pc
+
+        pc.match_substring_regex(pa.array([], type=pa.string()), f"^(?:{pattern})$")
+
+    def expand_regex_terms(self, pattern: str, max_expansions: int = 64) -> list[str]:
+        """Dictionary terms fully matching the RE2 ``pattern`` (Lucene
+        RegexpQuery semantics: whole-term anchored), capped to the
+        ``max_expansions`` highest-df."""
+        self._check_regex(pattern)
+        return self._expand_batch("expand_regex", [pattern], max_expansions)[0]
+
+    def regex_search(self, pattern: str, k: int = 10, max_expansions: int = 64,
+                     **search_kw) -> list[dict]:
+        """Regex retrieval: expand the pattern against the term dictionary,
+        then score the expanded set as a plain multi-term query. RE2 on both
+        the engine (Arrow kernel) and the DuckDB twin (regexp_full_match),
+        so pattern syntax agrees exactly."""
+        return self.search_terms(self.expand_regex_terms(pattern, max_expansions), k, **search_kw)
+
+    def regex_search_batch(self, items: list[tuple[int, str]], k: int = 10,
+                           max_expansions: int = 64, **search_kw) -> pa.Table:
+        """Batch form: ONE expansion round-trip + ONE scoring fan-out."""
+        for _, p in items:
+            self._check_regex(p)
+        expanded = self._expand_batch(
+            "expand_regex", [p for _, p in items], max_expansions
+        )
+        return self.search_terms_batch(
+            [(qid, ts) for (qid, _), ts in zip(items, expanded)], k, **search_kw
+        )
+
     def prefix_search_batch(self, items: list[tuple[int, str]], k: int = 10,
                             max_expansions: int = 64, **search_kw) -> pa.Table:
         """Batch form: ONE expansion round-trip + ONE scoring fan-out for

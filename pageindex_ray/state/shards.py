@@ -78,6 +78,7 @@ class PostingShard:
         self._cache_budget = 256_000_000
         # lazy vocabulary-scan structures (prefix / fuzzy expansion)
         self._vocab_sorted: list[str] | None = None
+        self._vocab_arr = None  # Arrow copy of the vocab for regex kernels
         self._edit_buckets: dict[int, tuple] | None = None
         self._edit_odd: list[str] = []
 
@@ -110,6 +111,26 @@ class PostingShard:
                 hits[vocab[i]] = self._local_df(vocab[i])
                 i += 1
             out.append(hits)
+        return out
+
+    def expand_regex(self, patterns: list[str]) -> list[dict[str, int]]:
+        """Per RE2 pattern: this shard's dictionary terms FULLY matching it
+        -> shard-local df. Anchored wrap (^(?:p)$) gives Lucene
+        RegexpQuery's whole-term semantics; matching is one vectorized
+        Arrow kernel call over the cached vocabulary array per pattern (RE2
+        under the hood — the same engine DuckDB's regexp_full_match uses,
+        so the SQL twin shares pattern syntax exactly)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vocab = self._vocab()
+        if self._vocab_arr is None:
+            self._vocab_arr = pa.array(vocab, type=pa.string())
+        out = []
+        for p in patterns:
+            mask = pc.match_substring_regex(self._vocab_arr, f"^(?:{p})$")
+            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            out.append({vocab[i]: self._local_df(vocab[i]) for i in idxs})
         return out
 
     def _ensure_edit_buckets(self):

@@ -168,3 +168,63 @@ def test_expansion_edge_cases(engine):
     got = engine.expand_fuzzy_terms("a", max_expansions=10**9)
     for t in got:
         assert _lev(t, "a") <= 1
+
+
+def _regex_patterns(built_index):
+    qt = pq.read_table(built_index["queries"])
+    out = []
+    for qid, text in zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()):
+        toks = sorted(set(tokenize(text)))
+        if toks:
+            out.append((qid, f"{toks[0][:2]}.*{toks[0][-1]}"))
+    return out
+
+
+def test_regex_expansion_matches_python_re(engine, built_index, oracle_index):
+    import re
+
+    multi = 0
+    for qid, pat in _regex_patterns(built_index):
+        got = engine.expand_regex_terms(pat)
+        rx = re.compile(f"^(?:{pat})$")
+        want = _golden_expansion(oracle_index, lambda t: rx.match(t) is not None)
+        assert got == want, (qid, pat)
+        multi += len(got) > 1
+    assert multi >= 10  # patterns must genuinely expand on this corpus
+
+
+def test_regex_is_whole_term_anchored(engine, oracle_index):
+    # 'h.' must match ONLY 2-char terms starting with h — substring
+    # semantics would sweep in every term containing h
+    got = engine.expand_regex_terms("h.", max_expansions=10**9)
+    for t in got:
+        assert len(t) == 2 and t[0] == "h", t
+    import re
+
+    rx = re.compile(r"^(?:h.)$")
+    want = _golden_expansion(
+        oracle_index, lambda t: rx.match(t) is not None, max_expansions=10**9
+    )
+    assert got == want
+
+
+def test_regex_search_matches_brute_force(engine, built_index, oracle_index):
+    checked = 0
+    for qid, pat in _regex_patterns(built_index)[:10]:
+        terms = engine.expand_regex_terms(pat)
+        got = [(r["doc_id"], r["score"]) for r in engine.regex_search(pat, k=10)]
+        want = _golden_topk(oracle_index, terms, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, pat)
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-9
+        )
+        checked += 1
+    assert checked == 10
+
+
+def test_regex_edge_cases(engine):
+    with pytest.raises(ValueError):
+        engine.expand_regex_terms("")
+    with pytest.raises(Exception):
+        engine.expand_regex_terms("(unclosed")  # invalid RE2: raises driver-side
+    assert engine.regex_search("zzz+qq.*x") == []
