@@ -205,6 +205,39 @@ def _q_rrf_topk(sf_dir: str):
         eng.shutdown()
 
 
+def _q_bm25_page2(sf_dir: str):
+    """Keyset pagination (search_after): page 1 is bm25 top-10; its last
+    row's (score, doc_id) is the cursor for page 2 — ranks 10..19 of the
+    full ordering, re-ranked 0..9 within the page. Stateless exact deep
+    paging: page N costs the same as page 1 (no growing window)."""
+    import pyarrow as pa
+
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        qids, ranks, docs = [], [], []
+        for qid, qtext in _load_queries(sf_dir):
+            page1 = eng.search(qtext, k=10)
+            if len(page1) < 10:
+                continue  # fewer than 10 matches: no second page
+            last = page1[-1]
+            for r in eng.search(qtext, k=10, search_after=(last["score"], last["doc_id"])):
+                qids.append(qid)
+                ranks.append(r["rank"])
+                docs.append(r["doc_id"])
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+            }
+        )
+    finally:
+        eng.shutdown()
+
+
 def _q_bm25_conv_topk(sf_dir: str):
     import pyarrow as pa
 
@@ -917,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wand_topk": _q_bm25_wand_topk,
         "lm_topk": _q_lm_topk,
         "rrf_topk": _q_rrf_topk,
+        "bm25_page2": _q_bm25_page2,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -1417,6 +1451,13 @@ def _oracle_sqls() -> dict[str, str]:
                    doc_id
             FROM fused
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) <= 10
+        """,
+        "bm25_page2": _BM25_CORE + """
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 11 AS INTEGER) AS rank,
+                   doc_id
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) BETWEEN 11 AND 20
         """,
         "bm25_segment_topk": _BM25_CORE + """
             , seg AS (

@@ -508,18 +508,23 @@ class SearchEngine:
         use_wand: bool = False,
         agg: str = "sum",
         where_norm=(),
+        cursor=(),
     ) -> list[tuple]:
         """All queries x all range scorers in ONE fan-out round-trip.
         Returns one merged result (or None) per query, in order.
         ``use_wand`` runs an independent range-clamped block-max WAND per
-        scorer (turn granularity only; rollups score exhaustively)."""
+        scorer (turn granularity only; rollups score exhaustively).
+        ``cursor``: keyset-pagination cursor, applied range-locally in every
+        scorer — only set by single-query pagination calls."""
         self._fetch_dfs(sorted({t for _, terms in query_terms for t in terms}))
         items = [(qid, self._term_idfs(terms)) for qid, terms in query_terms]
         live = [(qid, tidfs) for qid, tidfs in items if tidfs]
         if not live:
             return [None] * len(items)
         futures = [
-            s.score_many.remote(live, k, granularity, segment_span, use_wand, agg, where_norm)
+            s.score_many.remote(
+                live, k, granularity, segment_span, use_wand, agg, where_norm, cursor
+            )
             for s in self.scorers
         ]
         per_scorer = ray.get(futures)
@@ -544,7 +549,8 @@ class SearchEngine:
                 specs.append((t, idf, info))
         return specs
 
-    def _topk_turn(self, terms: list[str], k: int, use_wand: bool, where_norm=()):
+    def _topk_turn(self, terms: list[str], k: int, use_wand: bool, where_norm=(),
+                   search_after=None):
         if use_wand and not len(self.tombstones):
             specs = self._wand_specs(terms)
             if not specs:
@@ -559,6 +565,12 @@ class SearchEngine:
             return None
         if where_norm:
             d, s = self._apply_where(d, s, where_norm)
+            if not len(d):
+                return None
+        if search_after:
+            cs, cd = float(search_after[0]), int(search_after[1])
+            keep = (s < cs) | ((s == cs) & (d > cd))
+            d, s = d[keep], s[keep]
             if not len(d):
                 return None
         return topk_from_scores(d, s, k)
@@ -619,6 +631,7 @@ class SearchEngine:
         segment_span: int = 4,
         agg: str = "sum",
         where: dict | None = None,
+        search_after: tuple | None = None,
     ) -> list[dict]:
         """granularity: "turn" (doc top-k), "conv" (per-conversation rollup)
         or "segment" (contiguous ``segment_span``-turn spans — the mid-level
@@ -632,10 +645,12 @@ class SearchEngine:
         (AND across columns, IN within one). Requires the attrs sidecar
         (pipelines/attrs.py); non-scoring, Lucene-filter semantics (idf /
         avgdl stay corpus-global). Incompatible with use_wand (pruning
-        bounds ignore the mask — raises rather than silently falling back)."""
+        bounds ignore the mask — raises rather than silently falling back).
+        ``search_after``: (score, doc_id) keyset cursor for exact stateless
+        pagination — see ``search_terms``."""
         return self.search_terms(
             sorted(set(self.tokenize(query_text))),
-            k, granularity, use_wand, segment_span, agg, where,
+            k, granularity, use_wand, segment_span, agg, where, search_after,
         )
 
     def search_terms(
@@ -647,14 +662,30 @@ class SearchEngine:
         segment_span: int = 4,
         agg: str = "sum",
         where: dict | None = None,
+        search_after: tuple | None = None,
     ) -> list[dict]:
         """Pre-analyzed form of ``search``: score an explicit term list
         (each term with its own idf, summed like any multi-term query) —
-        the scoring primitive behind prefix_search / fuzzy_search."""
+        the scoring primitive behind prefix_search / fuzzy_search.
+
+        ``search_after``: keyset-pagination cursor — the (score, doc_id) of
+        the LAST row of the previous page; returns the next k docs strictly
+        after it in the (score desc, doc_id asc) total order. Stateless and
+        exact at any depth (no deep-paging window growth: page N costs the
+        same as page 1). Turn granularity only; incompatible with use_wand
+        (pruning bounds don't know the cursor — raises, never a silent
+        fallback)."""
         _check_agg(agg, granularity)
         where_norm = normalize_where(where, self.attrs)
         if where_norm and use_wand:
             raise ValueError("use_wand does not support where= filters; use exhaustive scoring")
+        if search_after is not None:
+            if granularity != "turn":
+                raise ValueError("search_after paginates turn-granularity results only")
+            if use_wand:
+                raise ValueError("use_wand does not support search_after; use exhaustive scoring")
+            if len(search_after) != 2:
+                raise ValueError("search_after cursor is (score, doc_id)")
         # tombstones force exhaustive scoring (result-identical; see __init__)
         use_wand = use_wand and not len(self.tombstones)
         terms = sorted(set(terms))
@@ -663,7 +694,8 @@ class SearchEngine:
             # range-clamped per-scorer WAND at turn granularity (rollups
             # always score exhaustively — pruning can't produce group sums)
             res = self._score_batch_distributed(
-                [(0, terms)], k, granularity, segment_span, use_wand, agg, where_norm
+                [(0, terms)], k, granularity, segment_span, use_wand, agg, where_norm,
+                cursor=tuple(search_after) if search_after else (),
             )[0]
             if res is None:
                 return []
@@ -716,7 +748,7 @@ class SearchEngine:
                 {"rank": r, "conv_id": str(names[r]), "score": float(scores[r])}
                 for r in range(len(names))
             ]
-        res = self._topk_turn(terms, k, use_wand, where_norm)
+        res = self._topk_turn(terms, k, use_wand, where_norm, search_after)
         if res is None:
             return []
         docs, scores = res

@@ -290,11 +290,13 @@ class RangeScorer:
         use_wand: bool = False,
         agg: str = "sum",
         where=(),
+        cursor=(),
     ) -> list:
         """Batch form: ONE round-trip scores every query in the set (terms
         are ensured once for the union, then each query accumulates from the
         local slice cache). Returns one ``score`` result per query, in
-        order."""
+        order. ``cursor`` (keyset pagination) applies to EVERY query in the
+        batch — callers paginate per query, so a cursored batch has one."""
         union: dict[str, float] = {}
         for _, term_idfs in queries:
             union.update(term_idfs)
@@ -303,7 +305,7 @@ class RangeScorer:
         else:
             self._ensure_terms(sorted(union.items()))
         return [
-            self.score(term_idfs, k, granularity, segment_span, use_wand, agg, where)
+            self.score(term_idfs, k, granularity, segment_span, use_wand, agg, where, cursor)
             for _, term_idfs in queries
         ]
 
@@ -353,9 +355,15 @@ class RangeScorer:
         use_wand: bool = False,
         agg: str = "sum",
         where=(),
+        cursor=(),
     ):
         """-> (doc_ids, scores) | (conv_names, scores) | (conv_names,
         seg_starts, scores): this range's top-k under the global tie-break.
+
+        ``cursor`` (turn granularity only): keyset-pagination cursor
+        (score, doc_id) — keep only docs strictly AFTER it in the
+        (score desc, doc_id asc) total order, applied range-locally before
+        top-k selection; disjoint ranges keep the merged page exact.
 
         ``use_wand`` (turn granularity only — rollups need every doc's
         group sum): independent block-max WAND traversal clamped to this
@@ -414,6 +422,12 @@ class RangeScorer:
                 return np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.float64)
         if granularity == "turn":
             docs = uniq + self.lo
+            if cursor:
+                cs, cd = float(cursor[0]), int(cursor[1])
+                keep = (vals < cs) | ((vals == cs) & (docs > cd))
+                docs, vals = docs[keep], vals[keep]
+                if not len(docs):
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
             return topk_from_scores(docs, vals, k)
         # rollup aggregation: "sum" (doc-order accumulation, == oracle sum)
         # or "max" (order-independent best-turn score per group)

@@ -79,7 +79,7 @@ def _oracle_names():
     "bm25_segment_topk", "corpus_curation", "phrase_search", "more_like_this",
     "bm25_conv_max_topk", "bool_search", "bm25_filtered_topk", "facet_counts",
     "prefix_search", "fuzzy_search", "snippets", "suggest", "bm25_tombstoned_topk",
-    "bm25_compacted_topk", "lm_topk", "rrf_topk", "regex_search",
+    "bm25_compacted_topk", "lm_topk", "rrf_topk", "regex_search", "bm25_page2",
 ])
 def test_query_matches_oracle(ray_session, contract, con, name):
     sqls = contract.oracle_sql()
