@@ -903,6 +903,22 @@ def _q_proximity_search(sf_dir: str):
     return proximity_search(idx, proximity_queries(tpath), slop=7)
 
 
+def _q_span_near(sf_dir: str):
+    """Ordered span-near (Lucene SpanNearQuery, in_order=True) from the
+    positional sidecar: tokens must appear in sequence with at most slop=3
+    extra tokens interleaved; minimal span emitted per (query, doc)."""
+    from pageindex_ray.pipelines.positions import (
+        build_positions,
+        span_near_queries,
+        span_near_search,
+    )
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    build_positions(idx, tpath)
+    return span_near_search(idx, span_near_queries(tpath), slop=3)
+
+
 def _q_query_string(sf_dir: str):
     """Lucene query-string language compiled onto the whole retrieval
     surface: +must / -must_not / should terms, "exact phrase" (positional
@@ -1000,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "phrase_search_pos": _q_phrase_search_pos,
         "proximity_search": _q_proximity_search,
+        "span_near": _q_span_near,
         "query_string": _q_query_string,
         "more_like_this": _q_more_like_this,
     }
@@ -1185,6 +1202,60 @@ def _proximity_sql(tpath: str = _TPATH, queries=None, slop: int = 7) -> str:
     sql = f"""
         WITH docs AS (
           SELECT {toks} AS toks,
+                 (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+          FROM read_parquet('{tpath}')
+        ), pos AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 CAST(unnest(range(len(toks))) AS BIGINT) AS p
+          FROM docs WHERE len(toks) > 0
+        )
+        {' UNION ALL '.join(blocks)}
+    """
+    if memo_key:
+        _SQL_MEMO[memo_key] = sql
+    return sql
+
+
+def _span_near_sql(tpath: str = _TPATH, queries=None, slop: int = 3) -> str:
+    """Twin of pipelines/positions.py span_near_search: per query, MIN over
+    the ORDER-CONSTRAINED k-way position join (p0 < p1 < ... strictly, one
+    alias per query TOKEN — duplicates get their own alias) of
+    p_last - p_first - (k-1); the engine's greedy chain minimum equals this
+    MIN because for a fixed first position the smallest admissible next
+    position is never worse."""
+    from pageindex_ray.pipelines.positions import span_near_queries
+    from pageindex_ray.tokenizer import tokenize
+
+    memo_key = ("span_near", tpath, slop) if queries is None else None
+    if memo_key and memo_key in _SQL_MEMO:
+        return _SQL_MEMO[memo_key]
+    if queries is None:
+        queries = span_near_queries(tpath)
+    blocks = []
+    for qid, text in queries:
+        toks = list(tokenize(text))
+        if not toks:
+            continue
+        aliases = [f"p{i}" for i in range(len(toks))]
+        frm = ", ".join(f"pos {a}" for a in aliases)
+        conds = [f"p0.term = '{toks[0]}'"]
+        for i in range(1, len(toks)):
+            conds.append(f"p{i}.term = '{toks[i]}'")
+            conds.append(f"p{i}.doc_id = p0.doc_id")
+            conds.append(f"p{i}.p > p{i-1}.p")
+        span = (
+            f"p{len(toks)-1}.p - p0.p - {len(toks)-1}" if len(toks) > 1 else "0"
+        )
+        blocks.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, p0.doc_id, "
+            f"CAST(MIN({span}) AS BIGINT) AS span FROM {frm} "
+            f"WHERE {' AND '.join(conds)} GROUP BY p0.doc_id "
+            f"HAVING MIN({span}) <= {slop}"
+        )
+    toks_expr = SQL_TOKENIZE.format(col="text")
+    sql = f"""
+        WITH docs AS (
+          SELECT {toks_expr} AS toks,
                  (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
           FROM read_parquet('{tpath}')
         ), pos AS (
@@ -1390,6 +1461,7 @@ def _oracle_sqls() -> dict[str, str]:
         "phrase_search": _phrase_search_sql(),
         "phrase_search_pos": _phrase_search_sql(),
         "proximity_search": _proximity_sql(),
+        "span_near": _span_near_sql(),
         "query_string": _query_string_sql(),
         "more_like_this": _more_like_this_sql(),
         "docmap": f"""

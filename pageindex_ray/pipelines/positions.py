@@ -378,6 +378,141 @@ def _proximity_block(
     )
 
 
+def _ordered_min_span(pos_lists: list[np.ndarray]) -> int:
+    """Minimal ``p_k - p_1`` over STRICTLY-INCREASING tuples choosing one
+    position per list in list order (Lucene SpanNearQuery's in_order
+    semantics). For a fixed first position the greedy chain — always the
+    smallest next position that still exceeds the previous pick — minimizes
+    the last position (any larger intermediate pick only shrinks later
+    choices), so min over first positions is the global minimum; equal to
+    the SQL twin's MIN over the order-constrained join without
+    materializing it. Returns int64 max when no valid chain exists."""
+    best = np.iinfo(np.int64).max
+    rest = pos_lists[1:]
+    for p1 in pos_lists[0]:
+        cur = int(p1)
+        for lst in rest:
+            i = int(np.searchsorted(lst, cur, side="right"))
+            if i == len(lst):
+                cur = -1
+                break
+            cur = int(lst[i])
+        if cur >= 0:
+            best = min(best, cur - int(p1))
+    return int(best)
+
+
+def _span_near_block(
+    group: pa.Table, qterms: list[tuple[int, list[str]]], slop: int
+) -> pa.Table:
+    """Ordered span matching inside one input block: per query, docs where
+    the query's tokens appear IN ORDER at strictly increasing positions
+    with span = p_last - p_first - (k-1) <= slop; emits the minimal span.
+    Duplicate query tokens are legitimate (each consumes its own
+    position)."""
+    group = group.combine_chunks()
+    terms = group.column("term").to_pylist()
+    by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for i, t in enumerate(terms):
+        docs = np.asarray(group.column("doc_ids")[i].values.to_numpy(), dtype=np.int64)
+        poss = np.asarray(group.column("positions")[i].values.to_numpy(), dtype=np.int64)
+        order = np.lexsort((poss, docs))
+        by_term[t] = (docs[order], poss[order])
+
+    out_q: list[int] = []
+    out_d: list[int] = []
+    out_s: list[int] = []
+    for qid, toks in qterms:
+        if not toks or any(t not in by_term for t in toks):
+            continue
+        cand: np.ndarray | None = None
+        for t in dict.fromkeys(toks):
+            docs = np.unique(by_term[t][0])
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if cand.size == 0:
+                break
+        if cand is None or cand.size == 0:
+            continue
+        extra = len(toks) - 1
+        for d in cand:
+            lists = []
+            for t in toks:
+                docs, poss = by_term[t]
+                a = np.searchsorted(docs, d, side="left")
+                b = np.searchsorted(docs, d, side="right")
+                lists.append(poss[a:b])
+            raw = _ordered_min_span(lists)
+            if raw == np.iinfo(np.int64).max:
+                continue
+            span = raw - extra
+            if span <= slop:
+                out_q.append(qid)
+                out_d.append(int(d))
+                out_s.append(span)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "span": pa.array(out_s, type=pa.int64()),
+        }
+    )
+
+
+def span_near_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    slop: int = 3,
+    tokenizer=None,
+) -> pa.Table:
+    """ORDERED span-near from the positional sidecar (Lucene SpanNearQuery
+    with in_order=True): a doc matches when the query's token sequence
+    occurs at strictly increasing positions with at most ``slop`` extra
+    tokens interleaved (span = p_last - p_first - (k-1); slop=0 is exactly
+    the phrase query). Emits the minimal span per (query, doc).
+
+    Same distribution shape as proximity_search: term-filtered sidecar read
+    + groupby(block); per-block work is a greedy position chain per
+    candidate doc. Unlike proximity, token ORDER matters and duplicate
+    query tokens each consume their own position."""
+    from ..sources.readers import read_parquet_clean
+    from .build import load_meta
+
+    pos_dir = positions_dir_of(index_dir)
+    if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"positional sidecar at {pos_dir} has no _SUCCESS marker: run "
+            "build_positions() (or `python -m pageindex_ray positions`) first"
+        )
+    pmeta = load_positions_meta(pos_dir)
+    imeta = load_meta(index_dir)
+    if pmeta["fingerprint"] != imeta["fingerprint"]:
+        raise ValueError(
+            "positions sidecar was built for a different index (fingerprint "
+            "mismatch): rebuild it with build_positions()"
+        )
+    spec = resolve_tokenizer(tokenizer if tokenizer is not None else pmeta["tokenizer"])
+
+    qterms = [(int(qid), list(spec.tokenize(text))) for qid, text in queries]
+    all_terms = sorted({t for _, toks in qterms for t in toks})
+    if not all_terms:
+        return PROX_SCHEMA.empty_table()
+
+    ds = read_parquet_clean(
+        os.path.join(pos_dir, "parts"),
+        columns=["block", "term", "doc_ids", "positions"],
+        filter=pc.field("term").isin(all_terms),
+    )
+    out = ds.groupby("block").map_groups(
+        _span_near_block, fn_args=(qterms, int(slop)), batch_format="pyarrow"
+    )
+    tables = list(out.iter_batches(batch_format="pyarrow"))
+    tables = [t.select(PROX_SCHEMA.names) for t in tables if t.num_rows]
+    table = pa.concat_tables(tables) if tables else PROX_SCHEMA.empty_table()
+    return table.cast(PROX_SCHEMA).sort_by(
+        [("query_id", "ascending"), ("doc_id", "ascending")]
+    )
+
+
 PROX_SCHEMA = pa.schema(
     [
         ("query_id", pa.int64()),
@@ -462,6 +597,23 @@ def proximity_queries(tpath: str, n: int = 10) -> list[tuple[int, str]]:
         if qid % 2 and len(toks) >= 3:
             terms = toks[:3]
         out.append((qid, " ".join(terms)))
+    return out
+
+
+def span_near_queries(tpath: str, n: int = 10) -> list[tuple[int, str]]:
+    """Deterministic ordered-span query set: even qids keep the full
+    corpus-window token sequence (the source doc matches at span 0); odd
+    qids drop the window's middle tokens (first + last only — the source
+    doc matches at span = number of dropped tokens, exercising slop > 0)."""
+    from .phrase import phrase_queries  # reuse the strided row reader
+
+    base = phrase_queries(tpath, n=n)
+    out: list[tuple[int, str]] = []
+    for qid, text in base:
+        toks = text.split()
+        if qid % 2 and len(toks) >= 3:
+            toks = [toks[0], toks[-1]]
+        out.append((qid, " ".join(toks)))
     return out
 
 

@@ -207,3 +207,64 @@ def test_proximity_search_semantics(ray_session, tmp_path):
     got = {(r["query_id"], r["doc_id"]): r["span"] for r in out.to_pylist()}
     # duplicate tokens dedupe to a single term -> span 0 wherever it occurs
     assert got == {(0, 0): 4, (0, 1): 1, (1, 0): 0, (1, 1): 0, (1, 2): 0}
+
+
+def test_ordered_min_span_matches_bruteforce():
+    """Greedy chain == min over the order-constrained cross product (the
+    SQL twin's formulation), on random position sets including no-chain
+    cases."""
+    import itertools
+
+    from pageindex_ray.pipelines.positions import _ordered_min_span
+
+    INF = np.iinfo(np.int64).max
+    rng = np.random.default_rng(13)
+    for _ in range(300):
+        k = int(rng.integers(1, 4))
+        lists = [
+            np.sort(rng.choice(20, size=rng.integers(1, 5), replace=False)).astype(np.int64)
+            for _ in range(k)
+        ]
+        spans = [
+            t[-1] - t[0]
+            for t in itertools.product(*[l.tolist() for l in lists])
+            if all(a < b for a, b in zip(t, t[1:]))
+        ]
+        brute = min(spans) if spans else INF
+        assert _ordered_min_span(lists) == brute
+
+
+def test_span_near_semantics(ray_session, tmp_path):
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.positions import build_positions, span_near_search
+
+    rows = {
+        "conv_id": ["c0", "c0", "c1", "c1"],
+        "turn_idx": pa.array([0, 1, 0, 1], type=pa.int32()),
+        "role": ["user", "assistant", "user", "assistant"],
+        "text": [
+            "alpha x x beta",       # ordered span 2
+            "beta alpha",           # WRONG order -> no match (proximity would match)
+            "alpha beta",           # span 0 (exact phrase)
+            "alpha x x x x beta",   # span 4 > slop 3 -> excluded
+        ],
+        "tool": pa.array([None] * 4, type=pa.string()),
+        "ts": pa.array([1, 2, 3, 4], type=pa.timestamp("us")),
+    }
+    tpath = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table(rows), tpath)
+    idx = str(tmp_path / "idx")
+    build_index(tpath, idx, BuildConfig(num_partitions=4))
+    build_positions(idx, tpath)
+    out = span_near_search(idx, [(0, "alpha beta")], slop=3)
+    got = {(r["query_id"], r["doc_id"]): r["span"] for r in out.to_pylist()}
+    assert got == {(0, 0): 2, (0, 2): 0}
+    # duplicate tokens each consume a position: "alpha alpha" needs TWO
+    # alphas in one doc — none of these docs has that
+    out2 = span_near_search(idx, [(1, "alpha alpha")], slop=9)
+    assert out2.num_rows == 0
+    # slop=0 is exactly the phrase query
+    out3 = span_near_search(idx, [(2, "alpha beta")], slop=0)
+    got3 = {(r["query_id"], r["doc_id"]): r["span"] for r in out3.to_pylist()}
+    assert got3 == {(2, 2): 0}
