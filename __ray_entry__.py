@@ -317,6 +317,35 @@ def _q_bm25_filtered_topk(sf_dir: str):
         eng.shutdown()
 
 
+def _q_bm25_boosted_topk(sf_dir: str):
+    """Attribute-boosted BM25 (Lucene document/field boosting): each doc's
+    summed score is multiplied by its role's weight (assistant 2.0, tool
+    0.5, user unlisted -> 1.0) via the attrs sidecar, then top-k under the
+    usual tie-break. Scoring-time use of the sidecar — where= only filters."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_attrs(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        qids, ranks, docs = [], [], []
+        for qid, qtext in _load_queries(sf_dir):
+            for r in eng.search(qtext, k=10, boost={"role": {"assistant": 2.0, "tool": 0.5}}):
+                qids.append(qid)
+                ranks.append(r["rank"])
+                docs.append(r["doc_id"])
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+            }
+        )
+    finally:
+        eng.shutdown()
+
+
 def _q_facet_counts(sf_dir: str):
     """Per-query facet histogram over the role attribute: matching docs
     (>= 1 query term) counted per role value."""
@@ -967,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_topk": _q_lm_topk,
         "rrf_topk": _q_rrf_topk,
         "bm25_page2": _q_bm25_page2,
+        "bm25_boosted_topk": _q_bm25_boosted_topk,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -1523,6 +1553,46 @@ def _oracle_sqls() -> dict[str, str]:
                    doc_id
             FROM fused
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) <= 10
+        """,
+        "bm25_boosted_topk": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT role, toks, len(toks) AS dl,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM docs
+), tok AS (
+  SELECT doc_id, role, dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(role) AS role, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), scored AS (
+  -- engine order: accumulate the plain BM25 sum, THEN multiply the doc's
+  -- single role weight (a doc has one role; unlisted roles keep 1.0)
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(s.total AS DOUBLE) / s.n))) )
+         * any_value(CASE tf.role WHEN 'assistant' THEN 2.0 WHEN 'tool' THEN 0.5 ELSE 1.0 END) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
         """,
         "bm25_page2": _BM25_CORE + """
             SELECT query_id,

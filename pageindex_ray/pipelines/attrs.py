@@ -272,6 +272,34 @@ def normalize_where(where, store: AttrStore | None) -> tuple[tuple[str, tuple[st
     return tuple(norm)
 
 
+def normalize_boost(
+    boost, store: AttrStore | None
+) -> tuple[tuple[str, tuple[tuple[str, float], ...]], ...]:
+    """Canonical form of a boost dict {col: {value: weight}}: sorted
+    ((col, ((value, w), ...)), ...). Docs whose value is unlisted keep
+    weight 1.0; columns multiply. Same fail-fast rules as normalize_where
+    (no sidecar / unknown column raises — never a silent no-op)."""
+    if not boost:
+        return ()
+    if store is None:
+        raise ValueError(
+            "boost= requires an attribute sidecar: run build_attrs() "
+            "(or `python -m pageindex_ray attrs`) on this index first"
+        )
+    norm = []
+    for col, weights in sorted(boost.items()):
+        if col not in store.columns:
+            raise KeyError(
+                f"attribute column {col!r} not in sidecar {sorted(store.columns)}"
+            )
+        if not isinstance(weights, dict):
+            raise ValueError("boost values must be {value: weight} dicts")
+        norm.append(
+            (col, tuple(sorted((str(v), float(w)) for v, w in weights.items())))
+        )
+    return tuple(norm)
+
+
 def membership_mask(sorted_ids: np.ndarray, candidates: np.ndarray) -> np.ndarray:
     """Boolean mask: candidates[i] in sorted_ids (both int64; sorted_ids
     ascending). Same searchsorted probe as the boolean-retrieval filters."""

@@ -43,7 +43,7 @@ import ray
 from ..stages.postings import salted_partitions, term_partition
 from ..state.scorers import make_scorer_pool
 from ..state.shards import PostingShard
-from .attrs import AttrStore, attrs_dir_of, membership_mask, normalize_where
+from .attrs import AttrStore, attrs_dir_of, membership_mask, normalize_boost, normalize_where
 from .build import load_meta
 from .stored import DocStore, stored_dir_of
 from .tombstones import load_tombstones
@@ -466,6 +466,17 @@ class SearchEngine:
             keep &= membership_mask(self._where_ids(col, values), docs)
         return docs[keep], scores[keep]
 
+    def _apply_boost(self, docs: np.ndarray, scores: np.ndarray, boost_norm):
+        """Per-column value-weight multiply (a doc has exactly one value per
+        attribute column, so within a column the value masks are disjoint;
+        columns compose multiplicatively in sorted-column order — the SQL
+        twin multiplies in the same order). Unlisted values keep 1.0."""
+        for col, weights in boost_norm:
+            for value, w in weights:
+                mask = membership_mask(self._where_ids(col, (value,)), docs)
+                scores = np.where(mask, scores * w, scores)
+        return scores
+
     def _drop_deleted(self, docs: np.ndarray, scores: np.ndarray):
         """Mask tombstoned docs (driver scoring paths)."""
         if not len(self.tombstones) or not len(docs):
@@ -509,13 +520,15 @@ class SearchEngine:
         agg: str = "sum",
         where_norm=(),
         cursor=(),
+        boost_norm=(),
     ) -> list[tuple]:
         """All queries x all range scorers in ONE fan-out round-trip.
         Returns one merged result (or None) per query, in order.
         ``use_wand`` runs an independent range-clamped block-max WAND per
         scorer (turn granularity only; rollups score exhaustively).
         ``cursor``: keyset-pagination cursor, applied range-locally in every
-        scorer — only set by single-query pagination calls."""
+        scorer — only set by single-query pagination calls. ``boost_norm``:
+        normalized attribute boosts, applied range-locally before top-k."""
         self._fetch_dfs(sorted({t for _, terms in query_terms for t in terms}))
         items = [(qid, self._term_idfs(terms)) for qid, terms in query_terms]
         live = [(qid, tidfs) for qid, tidfs in items if tidfs]
@@ -523,7 +536,8 @@ class SearchEngine:
             return [None] * len(items)
         futures = [
             s.score_many.remote(
-                live, k, granularity, segment_span, use_wand, agg, where_norm, cursor
+                live, k, granularity, segment_span, use_wand, agg, where_norm, cursor,
+                boost_norm,
             )
             for s in self.scorers
         ]
@@ -550,7 +564,7 @@ class SearchEngine:
         return specs
 
     def _topk_turn(self, terms: list[str], k: int, use_wand: bool, where_norm=(),
-                   search_after=None):
+                   search_after=None, boost_norm=()):
         if use_wand and not len(self.tombstones):
             specs = self._wand_specs(terms)
             if not specs:
@@ -567,6 +581,8 @@ class SearchEngine:
             d, s = self._apply_where(d, s, where_norm)
             if not len(d):
                 return None
+        if boost_norm:
+            s = self._apply_boost(d, s, boost_norm)
         if search_after:
             cs, cd = float(search_after[0]), int(search_after[1])
             keep = (s < cs) | ((s == cs) & (d > cd))
@@ -632,6 +648,7 @@ class SearchEngine:
         agg: str = "sum",
         where: dict | None = None,
         search_after: tuple | None = None,
+        boost: dict | None = None,
     ) -> list[dict]:
         """granularity: "turn" (doc top-k), "conv" (per-conversation rollup)
         or "segment" (contiguous ``segment_span``-turn spans — the mid-level
@@ -650,7 +667,7 @@ class SearchEngine:
         pagination — see ``search_terms``."""
         return self.search_terms(
             sorted(set(self.tokenize(query_text))),
-            k, granularity, use_wand, segment_span, agg, where, search_after,
+            k, granularity, use_wand, segment_span, agg, where, search_after, boost,
         )
 
     def search_terms(
@@ -663,10 +680,18 @@ class SearchEngine:
         agg: str = "sum",
         where: dict | None = None,
         search_after: tuple | None = None,
+        boost: dict | None = None,
     ) -> list[dict]:
         """Pre-analyzed form of ``search``: score an explicit term list
         (each term with its own idf, summed like any multi-term query) —
         the scoring primitive behind prefix_search / fuzzy_search.
+
+        ``boost``: attribute-value score weights, e.g.
+        ``{"role": {"assistant": 2.0}}`` — each doc's summed BM25 score is
+        multiplied by its value's weight (unlisted values keep 1.0; columns
+        multiply). Lucene's document/field boosting over the attrs sidecar;
+        turn granularity only, incompatible with use_wand (pruning bounds
+        don't know the weights — raises, never a silent fallback).
 
         ``search_after``: keyset-pagination cursor — the (score, doc_id) of
         the LAST row of the previous page; returns the next k docs strictly
@@ -686,6 +711,12 @@ class SearchEngine:
                 raise ValueError("use_wand does not support search_after; use exhaustive scoring")
             if len(search_after) != 2:
                 raise ValueError("search_after cursor is (score, doc_id)")
+        boost_norm = normalize_boost(boost, self.attrs)
+        if boost_norm:
+            if granularity != "turn":
+                raise ValueError("boost= applies to turn-granularity scoring only")
+            if use_wand:
+                raise ValueError("use_wand does not support boost=; use exhaustive scoring")
         # tombstones force exhaustive scoring (result-identical; see __init__)
         use_wand = use_wand and not len(self.tombstones)
         terms = sorted(set(terms))
@@ -696,6 +727,7 @@ class SearchEngine:
             res = self._score_batch_distributed(
                 [(0, terms)], k, granularity, segment_span, use_wand, agg, where_norm,
                 cursor=tuple(search_after) if search_after else (),
+                boost_norm=boost_norm,
             )[0]
             if res is None:
                 return []
@@ -748,7 +780,7 @@ class SearchEngine:
                 {"rank": r, "conv_id": str(names[r]), "score": float(scores[r])}
                 for r in range(len(names))
             ]
-        res = self._topk_turn(terms, k, use_wand, where_norm, search_after)
+        res = self._topk_turn(terms, k, use_wand, where_norm, search_after, boost_norm)
         if res is None:
             return []
         docs, scores = res

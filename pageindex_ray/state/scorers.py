@@ -291,12 +291,13 @@ class RangeScorer:
         agg: str = "sum",
         where=(),
         cursor=(),
+        boost=(),
     ) -> list:
         """Batch form: ONE round-trip scores every query in the set (terms
         are ensured once for the union, then each query accumulates from the
         local slice cache). Returns one ``score`` result per query, in
-        order. ``cursor`` (keyset pagination) applies to EVERY query in the
-        batch — callers paginate per query, so a cursored batch has one."""
+        order. ``cursor`` (keyset pagination) and ``boost`` apply to EVERY
+        query in the batch — callers paginate/boost per call."""
         union: dict[str, float] = {}
         for _, term_idfs in queries:
             union.update(term_idfs)
@@ -305,7 +306,9 @@ class RangeScorer:
         else:
             self._ensure_terms(sorted(union.items()))
         return [
-            self.score(term_idfs, k, granularity, segment_span, use_wand, agg, where, cursor)
+            self.score(
+                term_idfs, k, granularity, segment_span, use_wand, agg, where, cursor, boost
+            )
             for _, term_idfs in queries
         ]
 
@@ -356,6 +359,7 @@ class RangeScorer:
         agg: str = "sum",
         where=(),
         cursor=(),
+        boost=(),
     ):
         """-> (doc_ids, scores) | (conv_names, scores) | (conv_names,
         seg_starts, scores): this range's top-k under the global tie-break.
@@ -364,6 +368,10 @@ class RangeScorer:
         (score, doc_id) — keep only docs strictly AFTER it in the
         (score desc, doc_id asc) total order, applied range-locally before
         top-k selection; disjoint ranges keep the merged page exact.
+
+        ``boost`` (turn granularity only): normalized attribute boosts —
+        per-doc value-weight multiply via the range-local attr slices,
+        applied BEFORE the cursor (cursors live in boosted score space).
 
         ``use_wand`` (turn granularity only — rollups need every doc's
         group sum): independent block-max WAND traversal clamped to this
@@ -422,6 +430,13 @@ class RangeScorer:
                 return np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.float64)
         if granularity == "turn":
             docs = uniq + self.lo
+            if boost:
+                from ..pipelines.attrs import membership_mask
+
+                for col, weights in boost:
+                    for value, w in weights:
+                        mask = membership_mask(self._attr_local_ids(col, (value,)), uniq)
+                        vals = np.where(mask, vals * w, vals)
             if cursor:
                 cs, cd = float(cursor[0]), int(cursor[1])
                 keep = (vals < cs) | ((vals == cs) & (docs > cd))

@@ -204,3 +204,75 @@ def test_where_error_paths(ray_session, built_index, tmp_path, engine):
 
 def test_filter_selecting_nothing_returns_empty(engine):
     assert engine.search("the", where={"tool": "no-such-tool"}) == []
+
+
+def _golden_boosted(oracle_index, qtext, role_of_docs, weights, k=10):
+    docs, scores = score_all(oracle_index, qtext)
+    if not len(docs):
+        return []
+    w = np.asarray([weights.get(r, 1.0) for r in role_of_docs(docs)], dtype=np.float64)
+    scores = scores * w
+    order = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+def test_boosted_search_matches_brute_force(engine, built_index, oracle_index, doc_attrs):
+    role, _ = doc_attrs
+    weights = {"assistant": 2.0, "tool": 0.5}
+    checked = 0
+    for qid, qtext in _queries(built_index)[:15]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(qtext, k=10, boost={"role": weights})
+        ]
+        want = _golden_boosted(oracle_index, qtext, lambda d: role[d], weights, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=0
+        )
+        checked += 1
+        # the boost must actually change at least some rankings vs unboosted
+    plain = [r["doc_id"] for r in engine.search("the system", k=10)]
+    boosted = [r["doc_id"] for r in engine.search("the system", k=10, boost={"role": weights})]
+    assert checked == 15 and plain != boosted
+
+
+def test_boosted_distributed_matches_driver(ray_session, built_index, attrs_built):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    e2 = SearchEngine(built_index["index_dir"], num_shards=2, num_scorers=3)
+    assert e2.scorers
+    e1 = SearchEngine(built_index["index_dir"], num_shards=2)
+    try:
+        weights = {"role": {"assistant": 2.0, "tool": 0.5}}
+        for _, qtext in _queries(built_index)[:8]:
+            a = e1.search(qtext, k=10, boost=weights)
+            b = e2.search(qtext, k=10, boost=weights)
+            assert [(r["doc_id"], r["score"]) for r in a] == [
+                (r["doc_id"], r["score"]) for r in b
+            ], qtext
+        # boost composes with where= and with search_after
+        qtext = "the system tool"
+        aw = e1.search(qtext, k=5, boost=weights, where={"role": ["user", "assistant"]})
+        bw = e2.search(qtext, k=5, boost=weights, where={"role": ["user", "assistant"]})
+        assert [(r["doc_id"], r["score"]) for r in aw] == [(r["doc_id"], r["score"]) for r in bw]
+        p1 = e1.search(qtext, k=5, boost=weights)
+        cur = (p1[-1]["score"], p1[-1]["doc_id"])
+        ap = e1.search(qtext, k=5, boost=weights, search_after=cur)
+        bp = e2.search(qtext, k=5, boost=weights, search_after=cur)
+        assert [(r["doc_id"], r["score"]) for r in ap] == [(r["doc_id"], r["score"]) for r in bp]
+        assert not (set(r["doc_id"] for r in p1) & set(r["doc_id"] for r in ap))
+    finally:
+        e1.shutdown()
+        e2.shutdown()
+
+
+def test_boost_error_paths(engine):
+    with pytest.raises(KeyError):
+        engine.search("the", boost={"nope": {"x": 2.0}})
+    with pytest.raises(ValueError):
+        engine.search("the", boost={"role": 2.0})
+    with pytest.raises(ValueError):
+        engine.search("the", boost={"role": {"user": 2.0}}, use_wand=True)
+    with pytest.raises(ValueError):
+        engine.search("the", boost={"role": {"user": 2.0}}, granularity="conv")
