@@ -238,6 +238,27 @@ def _q_bm25_page2(sf_dir: str):
         eng.shutdown()
 
 
+def _q_search_export(sf_dir: str):
+    """Search-as-Dataset export (pipelines/export.py): the FULL match set
+    of query_id 0, scored by a pure Ray Data pipeline (postings read with
+    term filter pushdown -> map_batches decode+score -> groupby(doc_id)
+    sum -> conv attach) — returned as a streaming Dataset, never a
+    driver-side list. The 100-TB consumption shape for feeding search
+    results into downstream training-data pipelines."""
+    from pageindex_ray.pipelines.export import search_to_dataset
+
+    idx = _ensure_index(sf_dir)
+    _, qpath = ensure_corpus(sf_dir)
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(qpath)
+    qtext = {
+        int(q): t
+        for q, t in zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+    }[0]
+    return search_to_dataset(idx, qtext)
+
+
 def _q_bm25_conv_topk(sf_dir: str):
     import pyarrow as pa
 
@@ -997,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_topk": _q_rrf_topk,
         "bm25_page2": _q_bm25_page2,
         "bm25_boosted_topk": _q_bm25_boosted_topk,
+        "search_export": _q_search_export,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -1593,6 +1615,10 @@ SELECT query_id,
        doc_id
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "search_export": _BM25_CORE + """
+            SELECT doc_id, score, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx
+            FROM scored WHERE query_id = 0
         """,
         "bm25_page2": _BM25_CORE + """
             SELECT query_id,
