@@ -76,6 +76,36 @@ def main(argv: list[str] | None = None) -> int:
         "--where", nargs="+", metavar="COL=VALUE", default=None,
         help="attribute filter clauses (needs the attrs sidecar; AND across clauses)",
     )
+    s.add_argument(
+        "--similarity", choices=["bm25", "lm", "rrf"], default="bm25",
+        help="ranker: bm25 (default), lm (Dirichlet, mu=2000), rrf (fuse both)",
+    )
+    s.add_argument(
+        "--boost", nargs="+", metavar="COL=VALUE:W", default=None,
+        help="attribute score boosts, e.g. role=assistant:2.0 (needs attrs sidecar)",
+    )
+    s.add_argument(
+        "--after", default=None, metavar="SCORE,DOC_ID",
+        help="keyset-pagination cursor: the previous page's last (score, doc_id)",
+    )
+
+    ex = sub.add_parser(
+        "export", help="stream the FULL match set to partitioned parquet"
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument(
+        "--min-match", type=int, default=1,
+        help="keep docs matching at least this many distinct query terms",
+    )
+
+    sp = sub.add_parser(
+        "span", help="ordered span-near search from the positional sidecar"
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--query", required=True, help="the token sequence (order matters)")
+    sp.add_argument("--slop", type=int, default=3, help="max extra tokens interleaved")
 
     at = sub.add_parser(
         "attrs", help="build the attribute sidecar (filtered retrieval / facets)"
@@ -239,16 +269,44 @@ def main(argv: list[str] | None = None) -> int:
             scorers = args.scorers if args.scorers == "auto" else int(args.scorers)
             eng = SearchEngine(args.index, num_shards=args.shards, num_scorers=scorers)
             gran = "conv" if args.conv else ("segment" if args.segment else "turn")
-            hits = eng.search(
-                args.query,
-                k=args.k,
-                granularity=gran,
-                use_wand=args.wand,
-                segment_span=args.segment or 4,
-                where=dict(w.split("=", 1) for w in args.where) if args.where else None,
-            )
+            boost = None
+            if args.boost:
+                boost = {}
+                for clause in args.boost:
+                    col, vw = clause.split("=", 1)
+                    value, w = vw.rsplit(":", 1)
+                    boost.setdefault(col, {})[value] = float(w)
+            after = None
+            if args.after:
+                cs, cd = args.after.split(",", 1)
+                after = (float(cs), int(cd))
+            if args.similarity == "lm":
+                hits = eng.lm_search(args.query, k=args.k)
+            elif args.similarity == "rrf":
+                t = eng.rrf_search_batch([(0, args.query)], k=args.k)
+                hits = t.to_pylist()
+            else:
+                hits = eng.search(
+                    args.query,
+                    k=args.k,
+                    granularity=gran,
+                    use_wand=args.wand,
+                    segment_span=args.segment or 4,
+                    where=dict(w.split("=", 1) for w in args.where) if args.where else None,
+                    search_after=after,
+                    boost=boost,
+                )
             print(json.dumps(hits))
             eng.shutdown()
+        elif args.cmd == "export":
+            from .pipelines.export import export_search
+
+            print(json.dumps(export_search(args.index, args.query, args.out, args.min_match)))
+        elif args.cmd == "span":
+            from .pipelines.positions import span_near_search
+
+            t = span_near_search(args.index, [(0, args.query)], slop=args.slop)
+            print(json.dumps(t.to_pylist()))
         elif args.cmd == "bench-queries":
             import statistics
             import time

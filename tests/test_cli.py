@@ -50,3 +50,47 @@ def test_cli_build_search_append(ray_session, tiny_corpus, tmp_path, capsys):
     assert inf["n_docs"] == src.num_rows and inf["committed"]
     assert inf["merged_from"] == 2 and inf["lineage"]["n_postings"] > 0
     assert ray.is_initialized()
+
+
+def test_cli_round3_surfaces(ray_session, built_index, tmp_path, capsys):
+    """The new-surface CLI doors: similarity selection, boosts, pagination,
+    export, ordered span-near."""
+    from pageindex_ray.__main__ import main
+
+    idx = built_index["index_dir"]
+
+    assert main(["search", "--index", idx, "--query", "the", "--similarity", "lm"]) == 0
+    lm_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lm_hits and lm_hits[0]["rank"] == 0
+
+    assert main(["search", "--index", idx, "--query", "the of", "--similarity", "rrf"]) == 0
+    rrf_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rrf_hits and "rrf_score" in rrf_hits[0]
+
+    # pagination: page 2 via the --after cursor disjoint from page 1
+    assert main(["search", "--index", idx, "--query", "the", "-k", "5"]) == 0
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cur = f'{p1[-1]["score"]},{p1[-1]["doc_id"]}'
+    assert main(["search", "--index", idx, "--query", "the", "-k", "5", "--after", cur]) == 0
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p2 and not ({r["doc_id"] for r in p1} & {r["doc_id"] for r in p2})
+
+    # boost needs the attrs sidecar
+    assert main(["attrs", "--index", idx, "--input", built_index["transcripts"],
+                 "--columns", "role"]) == 0
+    capsys.readouterr()
+    assert main(["search", "--index", idx, "--query", "the of",
+                 "--boost", "role=assistant:2.0"]) == 0
+    boosted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert boosted
+
+    out = str(tmp_path / "cli_export")
+    assert main(["export", "--index", idx, "--query", "the", "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] > 0
+
+    assert main(["positions", "--index", idx, "--input", built_index["transcripts"]]) == 0
+    capsys.readouterr()
+    assert main(["span", "--index", idx, "--query", "the of", "--slop", "5"]) == 0
+    spans = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(spans, list)
