@@ -238,6 +238,18 @@ def _q_bm25_page2(sf_dir: str):
         eng.shutdown()
 
 
+def _q_collocations(sf_dir: str):
+    """Bigram PMI collocations (pipelines/collocations.py): per-batch
+    pre-aggregated unigram/bigram counts -> one distinct-key groupby ->
+    distributed min_count gate -> driver-side PMI rank over the surviving
+    tail only. Corpus analytics for tokenizer-merge / multiword-expression
+    mining."""
+    from pageindex_ray.pipelines.collocations import bigram_pmi
+
+    tpath, _ = ensure_corpus(sf_dir)
+    return bigram_pmi(tpath, min_count=5, k=50)
+
+
 def _q_search_export(sf_dir: str):
     """Search-as-Dataset export (pipelines/export.py): the FULL match set
     of query_id 0, scored by a pure Ray Data pipeline (postings read with
@@ -1019,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_page2": _q_bm25_page2,
         "bm25_boosted_topk": _q_bm25_boosted_topk,
         "search_export": _q_search_export,
+        "collocations": _q_collocations,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -1615,6 +1628,32 @@ SELECT query_id,
        doc_id
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "collocations": f"""
+WITH docs AS (
+  SELECT {_TOKS} AS toks, row_number() OVER () AS doc_id
+  FROM read_parquet('{_TPATH}')
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         CAST(unnest(range(len(toks))) AS BIGINT) AS p
+  FROM docs WHERE len(toks) > 0
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term
+), n1 AS ( SELECT CAST(count(*) AS DOUBLE) AS v FROM tok
+), big AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY a.term, b.term
+), n2 AS ( SELECT CAST(sum(n) AS DOUBLE) AS v FROM big
+), pmi AS (
+  -- identical expression order as bigram_pmi: (c/N2) / ((cx/N1)*(cy/N1))
+  SELECT big.w1, big.w2, big.n,
+         ln( (big.n / n2.v) / ((ux.c / n1.v) * (uy.c / n1.v)) ) AS pmi
+  FROM big JOIN uni ux ON ux.term = big.w1 JOIN uni uy ON uy.term = big.w2
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE big.n >= 5
+)
+SELECT w1, w2, n, pmi FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 50
         """,
         "search_export": _BM25_CORE + """
             SELECT doc_id, score, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx
