@@ -893,12 +893,72 @@ class SearchEngine:
 
     # ------------------------------------- language-model similarity + fusion
 
+    def _fetch_cfs(self, terms: list[str]) -> dict[str, int]:
+        """Global collection frequency per term (salted sub-lists summed
+        across shards — the LM analogue of _fetch_dfs), cached."""
+        cache = getattr(self, "_cfs", None)
+        if cache is None:
+            cache = self._cfs = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            by_shard: dict[int, set[str]] = defaultdict(set)
+            for t in missing:
+                for pid in self._parts_for_term(t):
+                    by_shard[pid % self.num_shards].add(t)
+            items = sorted(by_shard.items())
+            futures = [self.shards[s].fetch_cfs.remote(sorted(ts)) for s, ts in items]
+            sums: dict[str, int] = defaultdict(int)
+            for res in ray.get(futures):
+                for t, cf in res.items():
+                    sums[t] += cf
+            for t in missing:
+                cache[t] = sums[t] if t in sums else None
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
+
+    def _lm_term_denoms(self, terms: list[str], mu: float) -> list[tuple[str, float]]:
+        """(term, denom) with denom = mu * (cf_global / T) — the scalar the
+        range scorers need to finalize LM contributions locally."""
+        cfs = self._fetch_cfs(terms)
+        return [
+            (t, mu * (float(cf) / float(self.total_tokens))) for t, cf in sorted(cfs.items())
+        ]
+
+    def _lm_batch_distributed(
+        self, per_query: list[tuple[int, list[str]]], k: int, mu: float
+    ) -> list:
+        """All LM queries x all range scorers in one fan-out (mirror of
+        _score_batch_distributed; merge is the same per-range top-k merge)."""
+        all_terms = sorted({t for _, ts in per_query for t in ts})
+        denom_of = dict(self._lm_term_denoms(all_terms, mu))
+        items = [
+            (qid, [(t, denom_of[t]) for t in ts if t in denom_of])
+            for qid, ts in per_query
+        ]
+        live = [(qid, tds) for qid, tds in items if tds]
+        if not live:
+            return [None] * len(items)
+        per_scorer = ray.get(
+            [s.lm_score_many.remote(live, k, mu) for s in self.scorers]
+        )
+        merged_live = [
+            self._merge_partials([ps[i] for ps in per_scorer], k, "turn")
+            for i in range(len(live))
+        ]
+        by_qid = {qid: res for (qid, _), res in zip(live, merged_live)}
+        return [by_qid.get(qid) if tds else None for qid, tds in items]
+
     def _lm_topk_turn(self, terms: list[str], k: int, mu: float):
         """Turn-granularity top-k under Dirichlet LM scoring. Always
         exhaustive: WAND's per-block max-factor metadata upper-bounds the
         BM25 factor only (LM bounds would need per-block min-dl/max-tf under
         every mu — a build-time change not worth it while LM serves as the
-        second ranker of the fusion pair)."""
+        second ranker of the fusion pair). Distributed on the scorer pool
+        when it exists (same per-range accumulate + merge as BM25)."""
+        if self.scorers:
+            res = self._lm_batch_distributed([(0, terms)], k, mu)[0]
+            if res is None or not len(res[0]):
+                return None
+            return res
         arrays = self._term_arrays_lm(terms, mu)
         if not arrays:
             return None
@@ -939,10 +999,19 @@ class SearchEngine:
         the LM cache for every query's terms, then per-query accumulation.
         Output: query_id, rank, doc_id, score, conv_id, turn_idx."""
         per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
-        self._term_arrays_lm(sorted({t for _, ts in per_query for t in ts}), mu)
+        if self.scorers:
+            results = self._lm_batch_distributed(per_query, k, mu)
+        else:
+            self._term_arrays_lm(sorted({t for _, ts in per_query for t in ts}), mu)
+            results = None
         qids, ranks, parts = [], [], defaultdict(list)
-        for qid, terms in per_query:
-            res = self._lm_topk_turn(terms, k, mu)
+        for i, (qid, terms) in enumerate(per_query):
+            if results is not None:
+                res = results[i]
+                if res is not None and not len(res[0]):
+                    res = None
+            else:
+                res = self._lm_topk_turn(terms, k, mu)
             if res is None:
                 continue
             docs, scores = res

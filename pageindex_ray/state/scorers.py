@@ -159,6 +159,83 @@ class RangeScorer:
         uniq, starts = np.unique(ids, return_index=True)
         return uniq, np.add.reduceat(contribs, starts)
 
+    def _ensure_lm_terms(
+        self, term_denoms: list[tuple[str, float]], mu: float
+    ) -> dict[str, list[tuple]]:
+        """LM analogue of _ensure_terms: {term: [(local_ids, contrib)]}
+        where contrib = ln(1 + tf/denom) + ln(mu/(dl+mu)) and denom =
+        mu*cf_global/T is computed ON THE DRIVER (global cf needs the
+        cross-shard sum, exactly like idf's df). Same expression order as
+        SearchEngine._term_arrays_lm, so distributed == driver bit-for-bit."""
+        cache = getattr(self, "_lm_cache", None)
+        if cache is None:
+            cache = self._lm_cache = {}
+        local: dict[str, list[tuple]] = {}
+        missing = []
+        for t, _ in term_denoms:
+            key = (t, mu)
+            if key in cache:
+                local[t] = cache[key]
+            else:
+                missing.append(t)
+        if not missing:
+            return local
+        futures = [s.fetch_lm_range.remote(missing, self.lo, self.hi) for s in self.shards]
+        fetched: dict[str, list[dict]] = {t: [] for t in missing}
+        for res in ray.get(futures):
+            for t, infos in res.items():
+                fetched[t].extend(infos)
+        denom_of = dict(term_denoms)
+        for t in missing:
+            slices = []
+            for info in sorted(fetched[t], key=lambda i: i["part"]):
+                ids = info["ids"]
+                if len(ids):
+                    contrib = np.log(1.0 + info["tf"] / denom_of[t]) + np.log(
+                        mu / (info["dl"] + mu)
+                    )
+                    slices.append((ids - self.lo, contrib))
+                    self._cache_elems += 2 * len(ids)
+            local[t] = slices
+            cache[(t, mu)] = slices
+        if self._cache_elems > self._cache_budget:
+            self._cache.clear()
+            cache.clear()
+            self._cache_elems = 0
+        return local
+
+    def lm_score_many(
+        self, queries: list[tuple[int, list[tuple[str, float]]]], k: int, mu: float
+    ) -> list:
+        """Batch Dirichlet-LM scoring for this range (turn granularity;
+        always exhaustive — WAND bounds are BM25-specific). One result
+        (doc_ids, scores) per query, tombstones masked."""
+        union: dict[str, float] = {}
+        for _, tds in queries:
+            union.update(tds)
+        self._ensure_lm_terms(sorted(union.items()), mu)
+        from ..pipelines.search import topk_from_scores
+
+        out = []
+        for _, tds in queries:
+            terms = sorted(t for t, _ in tds)
+            arrays = self._ensure_lm_terms(tds, mu)
+            acc = self._accumulate(terms, arrays)
+            if acc is None:
+                out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+                continue
+            uniq, vals = acc
+            if len(self._tomb_local):
+                from ..pipelines.attrs import membership_mask
+
+                alive = ~membership_mask(self._tomb_local, uniq)
+                uniq, vals = uniq[alive], vals[alive]
+            if not len(uniq):
+                out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+                continue
+            out.append(topk_from_scores(uniq + self.lo, vals, k))
+        return out
+
     def _ensure_wand_terms(self, term_idfs: list[tuple[str, float]]) -> dict[str, list[dict]]:
         """Block-sliced compressed infos for the range ([lo, hi) blocks
         only leave the shards; edge docs are clamped by the traversal)."""

@@ -267,6 +267,42 @@ class PostingShard:
                 out[t] = slices
         return out
 
+    def fetch_cfs(self, terms: list[str]) -> dict[str, int]:
+        """Shard-local collection frequency per term (summed over this
+        shard's sub-lists; caller sums across shards — the LM analogue of
+        fetch_dfs)."""
+        out = {}
+        for t in terms:
+            infos = self.terms.get(t)
+            if infos:
+                out[t] = int(sum(i["cf"] for i in infos))
+        return out
+
+    def fetch_lm_range(self, terms: list[str], lo: int, hi: int) -> dict[str, list[dict]]:
+        """Range-sliced raw-stat form for distributed LM scoring: only
+        postings with lo <= doc_id < hi leave the shard, as float64
+        (ids, tf, dl) views of the decoded LM cache."""
+        out: dict[str, list[dict]] = {}
+        lm = self.fetch_lm(terms)
+        for t, cached in lm.items():
+            slices = []
+            for info in cached:
+                ids = info["ids"]
+                a = int(np.searchsorted(ids, lo, side="left"))
+                b = int(np.searchsorted(ids, hi, side="left"))
+                if b > a:
+                    slices.append(
+                        {
+                            "part": info["part"],
+                            "ids": ids[a:b],
+                            "tf": info["tf"][a:b],
+                            "dl": info["dl"][a:b],
+                        }
+                    )
+            if slices:
+                out[t] = slices
+        return out
+
     def fetch_blocks_range(self, terms: list[str], lo: int, hi: int) -> dict[str, list[dict]]:
         """COMPRESSED block-granular range slice for the per-range WAND
         path: only blocks that can contain docs in [lo, hi) leave the shard

@@ -141,3 +141,31 @@ def test_rrf_ranks_are_dense_from_zero(engine, built_index):
         by_q[q].append(r)
     for q, ranks in by_q.items():
         assert ranks == list(range(len(ranks))), q
+
+
+def test_lm_distributed_matches_driver(ray_session, built_index):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    dist = SearchEngine(built_index["index_dir"], num_shards=4, num_scorers=3)
+    assert dist.scorers
+    driver = SearchEngine(built_index["index_dir"], num_shards=4)
+    try:
+        import pyarrow.parquet as pq
+
+        qt = pq.read_table(built_index["queries"])
+        queries = list(
+            zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+        )[:10]
+        a = driver.lm_search_batch(queries, k=10).to_pylist()
+        b = dist.lm_search_batch(queries, k=10).to_pylist()
+        assert [(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in a] == [
+            (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in b
+        ]
+        # single-query path too (exercises _lm_topk_turn dispatch)
+        x = driver.lm_search("the of and", k=7)
+        y = dist.lm_search("the of and", k=7)
+        assert [(r["doc_id"], r["score"]) for r in x] == [(r["doc_id"], r["score"]) for r in y]
+        assert dist.lm_search("zzzqqq", k=5) == []
+    finally:
+        driver.shutdown()
+        dist.shutdown()
