@@ -1087,6 +1087,56 @@ class SearchEngine:
             }
         )
 
+    def explain(self, query_text: str, doc_id: int, mu: float = 2000.0) -> dict:
+        """Score breakdown for one (query, doc): per matched term, the
+        BM25 contribution (idf x tf-factor) and the LM contribution, plus
+        the totals — Lucene's Explanation API shape. The totals are the
+        exact values the scoring paths produce (same cached arrays), so
+        explain(q, d)["score"] == the doc's score in search(q)."""
+        terms = sorted(set(self.tokenize(query_text)))
+        arrays = self._term_arrays(terms)
+        arrays_lm = self._term_arrays_lm(terms, mu)
+        self._fetch_dfs(terms)
+        rows = []
+        total = 0.0
+        total_lm = 0.0
+        for t in sorted(arrays):
+            ids, contribs = arrays[t]
+            i = int(np.searchsorted(ids, doc_id))
+            if i >= len(ids) or ids[i] != doc_id:
+                continue
+            c = float(contribs[i])
+            lm_ids, lm_c = arrays_lm[t]
+            j = int(np.searchsorted(lm_ids, doc_id))
+            clm = float(lm_c[j])
+            df = int(self._dfs[t])
+            rows.append(
+                {
+                    "term": t,
+                    "df": df,
+                    "idf": float(self.idf(df)),
+                    "bm25_contrib": c,
+                    "lm_contrib": clm,
+                }
+            )
+            total += c
+            total_lm += clm
+        convs, turns = self.doc_location(np.asarray([doc_id], dtype=np.int64))
+        return {
+            "doc_id": int(doc_id),
+            "conv_id": str(convs[0]),
+            "turn_idx": int(turns[0]),
+            "deleted": bool(
+                len(self.tombstones)
+                and np.searchsorted(self.tombstones, doc_id) < len(self.tombstones)
+                and self.tombstones[np.searchsorted(self.tombstones, doc_id)] == doc_id
+            ),
+            "matched_terms": rows,
+            "missing_terms": [t for t in terms if t not in {r["term"] for r in rows}],
+            "score": total,
+            "lm_score": total_lm,
+        }
+
     # ------------------------------------------------------------------ facets
 
     def _facet_values(self, col: str) -> list[str]:

@@ -169,3 +169,27 @@ def test_lm_distributed_matches_driver(ray_session, built_index):
     finally:
         driver.shutdown()
         dist.shutdown()
+
+
+def test_explain_reconciles_with_both_rankers(engine, built_index):
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(built_index["queries"])
+    queries = [t for t in qt.column("text").to_pylist()[:6]]
+    for qtext in queries:
+        hits = engine.search(qtext, k=3)
+        lm_hits = {r["doc_id"]: r["score"] for r in engine.lm_search(qtext, k=50)}
+        for h in hits:
+            ex = engine.explain(qtext, h["doc_id"])
+            assert ex["score"] == h["score"], qtext
+            assert ex["conv_id"] == h["conv_id"] and ex["turn_idx"] == h["turn_idx"]
+            assert not ex["deleted"]
+            if h["doc_id"] in lm_hits:
+                assert ex["lm_score"] == lm_hits[h["doc_id"]]
+            got_terms = {r["term"] for r in ex["matched_terms"]}
+            assert got_terms and not (got_terms & set(ex["missing_terms"]))
+            # per-term contributions reconcile to the total in term order
+            np.testing.assert_allclose(
+                sum(r["bm25_contrib"] for r in ex["matched_terms"]), ex["score"],
+                rtol=0, atol=1e-12,
+            )
