@@ -67,6 +67,16 @@ def _ensure_attrs(sf_dir: str) -> str:
     return idx
 
 
+def _ensure_docvalues(sf_dir: str) -> str:
+    """Index + ts doc-values sidecar (resumable via its own marker)."""
+    from pageindex_ray.pipelines.docvalues import build_docvalues
+
+    idx = _ensure_index(sf_dir)
+    tpath, _ = ensure_corpus(sf_dir)
+    build_docvalues(idx, tpath, columns=("ts",))
+    return idx
+
+
 def _load_queries(sf_dir: str) -> list[tuple[int, str]]:
     import pyarrow.parquet as pq
 
@@ -234,6 +244,21 @@ def _q_bm25_page2(sf_dir: str):
                 "doc_id": pa.array(docs, type=pa.int64()),
             }
         )
+    finally:
+        eng.shutdown()
+
+
+def _q_sorted_search(sf_dir: str):
+    """Sort-by-field retrieval (Lucene DocValues): per query, the 10
+    NEWEST matching turns — ordered by the ts doc-values column (raw int64
+    microseconds, unit recorded in the sidecar meta), doc_id tie-break."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_docvalues(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        out = eng.sorted_search_batch(_load_queries(sf_dir), by="ts", k=10)
+        return out.select(["query_id", "rank", "doc_id", "sort_value"])
     finally:
         eng.shutdown()
 
@@ -1032,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted_topk": _q_bm25_boosted_topk,
         "search_export": _q_search_export,
         "collocations": _q_collocations,
+        "sorted_search": _q_sorted_search,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -1628,6 +1654,31 @@ SELECT query_id,
        doc_id
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "sorted_search": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, ts, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT ts, toks,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), tok AS (
+  SELECT doc_id, any_value(ts) AS ts, unnest(list_distinct(toks)) AS term
+  FROM docs GROUP BY doc_id, toks
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.ts
+  FROM q JOIN tok ON q.term = tok.term
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY ts DESC, doc_id ASC) - 1 AS INTEGER) AS rank,
+       doc_id,
+       epoch_us(ts) AS sort_value
+FROM matched
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ts DESC, doc_id ASC) <= 10
         """,
         "collocations": f"""
 WITH docs AS (

@@ -89,6 +89,19 @@ def main(argv: list[str] | None = None) -> int:
         help="keyset-pagination cursor: the previous page's last (score, doc_id)",
     )
 
+    s.add_argument(
+        "--sort-by", default=None, metavar="COL",
+        help="order matches by this docvalues column instead of relevance",
+    )
+    s.add_argument("--asc", action="store_true", help="ascending field sort (with --sort-by)")
+
+    dv = sub.add_parser(
+        "docvalues", help="build the numeric doc-values sidecar (sort-by-field)"
+    )
+    dv.add_argument("--index", required=True, help="committed index dir")
+    dv.add_argument("--input", required=True, help="the transcripts the index was built from")
+    dv.add_argument("--columns", nargs="+", default=["ts"], help="numeric columns to store")
+
     ex = sub.add_parser(
         "export", help="stream the FULL match set to partitioned parquet"
     )
@@ -280,7 +293,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.after:
                 cs, cd = args.after.split(",", 1)
                 after = (float(cs), int(cd))
-            if args.similarity == "lm":
+            if args.sort_by:
+                hits = eng.sorted_search(
+                    args.query, by=args.sort_by, k=args.k, descending=not args.asc,
+                    where=dict(w.split("=", 1) for w in args.where) if args.where else None,
+                )
+            elif args.similarity == "lm":
                 hits = eng.lm_search(args.query, k=args.k)
             elif args.similarity == "rrf":
                 t = eng.rrf_search_batch([(0, args.query)], k=args.k)
@@ -298,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
             print(json.dumps(hits))
             eng.shutdown()
+        elif args.cmd == "docvalues":
+            from .pipelines.docvalues import build_docvalues
+
+            print(json.dumps(build_docvalues(args.index, args.input, tuple(args.columns))))
         elif args.cmd == "export":
             from .pipelines.export import export_search
 

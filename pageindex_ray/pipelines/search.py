@@ -191,6 +191,21 @@ class SearchEngine:
         self._attrs_dir = adir if self.attrs is not None else None
         # (col, values) -> global sorted doc-id array (driver filter path)
         self._attr_ids: dict[tuple, np.ndarray] = {}
+        # optional doc-values sidecar (pipelines/docvalues.py): numeric
+        # per-doc columns for sort-by-field retrieval
+        self.docvalues = None
+        dvdir = os.path.join(index_dir, "docvalues")
+        if os.path.exists(os.path.join(dvdir, "_SUCCESS")):
+            from .docvalues import DocValueStore
+
+            dv = DocValueStore(dvdir)
+            if dv.meta.get("fingerprint") != self.meta["fingerprint"]:
+                raise ValueError(
+                    f"docvalues sidecar at {dvdir} was built for a different index "
+                    "(fingerprint mismatch): rebuild it with build_docvalues()"
+                )
+            self.docvalues = dv
+        self._dv_cache: dict[str, tuple] = {}
         # optional stored-fields store (pipelines/stored.py): doc-addressed
         # field hydration for snippets / result rendering
         self.stored: DocStore | None = None
@@ -217,6 +232,9 @@ class SearchEngine:
                 self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers,
                 k1=self.k1, b=self.b, avgdl=self.avgdl, attrs_dir=self._attrs_dir,
                 tombstones=self.tombstones,
+                docvalues_dir=(
+                    os.path.join(index_dir, "docvalues") if self.docvalues is not None else None
+                ),
             )
             if num_scorers > 0
             else []
@@ -1086,6 +1104,127 @@ class SearchEngine:
                 "rrf_score": pa.array(out_scores, type=pa.float64()),
             }
         )
+
+    # -------------------------------------------------------- sort-by-field
+
+    def _dv_values(self, col: str, docs: np.ndarray) -> np.ndarray:
+        if self.docvalues is None:
+            raise ValueError(
+                "sort-by-field requires a docvalues sidecar: run build_docvalues() "
+                "(or `python -m pageindex_ray docvalues`) first"
+            )
+        return self.docvalues.values_for(col, docs)
+
+    def sorted_search_batch(
+        self,
+        queries: list[tuple[int, str]],
+        by: str,
+        k: int = 10,
+        descending: bool = True,
+        where: dict | None = None,
+    ) -> pa.Table:
+        """Sort-by-FIELD retrieval (Lucene Sort/DocValues): per query, the
+        top-k MATCHING docs (>= 1 query term) ordered by the numeric
+        doc-values column ``by`` (value desc|asc, doc_id asc) instead of
+        relevance — "newest matching turns" is the canonical transcript
+        form. Distributed path: each RangeScorer intersects its term slices
+        with its docvalues slice and returns a range-local top-k; ranges
+        are disjoint so the merged page is exact. Output: query_id, rank,
+        doc_id, sort_value, conv_id, turn_idx."""
+        if self.docvalues is None:
+            raise ValueError(
+                "sort-by-field requires a docvalues sidecar: run build_docvalues() first"
+            )
+        if by not in self.docvalues.columns:
+            raise KeyError(
+                f"docvalues column {by!r} not in sidecar {sorted(self.docvalues.columns)}"
+            )
+        where_norm = normalize_where(where, self.attrs)
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        results: list | None = None
+        if self.scorers:
+            self._fetch_dfs(sorted({t for _, ts in per_query for t in ts}))
+            items = [(qid, self._term_idfs(ts)) for qid, ts in per_query]
+            live = [(qid, tidfs) for qid, tidfs in items if tidfs]
+            by_qid = {}
+            if live:
+                per_scorer = ray.get(
+                    [
+                        s.sort_many.remote(live, by, k, descending, where_norm)
+                        for s in self.scorers
+                    ]
+                )
+                for i, (qid, _) in enumerate(live):
+                    docs = np.concatenate([ps[i][0] for ps in per_scorer])
+                    vals = np.concatenate([ps[i][1] for ps in per_scorer])
+                    order = (
+                        np.lexsort((docs, -vals)) if descending else np.lexsort((docs, vals))
+                    )[:k]
+                    by_qid[qid] = (docs[order], vals[order])
+            results = [by_qid.get(qid) for qid, _ in per_query]
+        else:
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            self._term_arrays(all_terms)
+        qids, ranks, parts = [], [], defaultdict(list)
+        for i, (qid, terms) in enumerate(per_query):
+            if results is not None:
+                res = results[i]
+                if res is None or not len(res[0]):
+                    continue
+                docs, vals = res
+            else:
+                per_term = self.term_doc_ids(terms)
+                if not per_term:
+                    continue
+                docs = np.unique(np.concatenate(list(per_term.values())))
+                if len(self.tombstones):
+                    docs = docs[~membership_mask(self.tombstones, docs)]
+                if where_norm and len(docs):
+                    keep = np.ones(len(docs), dtype=bool)
+                    for col, values in where_norm:
+                        keep &= membership_mask(self._where_ids(col, values), docs)
+                    docs = docs[keep]
+                if not len(docs):
+                    continue
+                vals = self._dv_values(by, docs)
+                order = (
+                    np.lexsort((docs, -vals)) if descending else np.lexsort((docs, vals))
+                )[:k]
+                docs, vals = docs[order], vals[order]
+            convs, turns = self.doc_location(docs)
+            parts["doc_id"].extend(docs.tolist())
+            parts["sort_value"].extend(vals.tolist())
+            parts["conv_id"].extend(convs.tolist())
+            parts["turn_idx"].extend(turns.tolist())
+            qids.extend([qid] * len(docs))
+            ranks.extend(range(len(docs)))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(parts["doc_id"], type=pa.int64()),
+                "sort_value": pa.array(parts["sort_value"], type=pa.int64()),
+                "conv_id": pa.array(parts["conv_id"], type=pa.string()),
+                "turn_idx": pa.array(parts["turn_idx"], type=pa.int32()),
+            }
+        )
+
+    def sorted_search(
+        self, query_text: str, by: str, k: int = 10, descending: bool = True,
+        where: dict | None = None,
+    ) -> list[dict]:
+        """Single-query form of ``sorted_search_batch``."""
+        t = self.sorted_search_batch([(0, query_text)], by, k, descending, where)
+        return [
+            {
+                "rank": int(r["rank"]),
+                "doc_id": int(r["doc_id"]),
+                "sort_value": int(r["sort_value"]),
+                "conv_id": str(r["conv_id"]),
+                "turn_idx": int(r["turn_idx"]),
+            }
+            for r in t.to_pylist()
+        ]
 
     def explain(self, query_text: str, doc_id: int, mu: float = 2000.0) -> dict:
         """Score breakdown for one (query, doc): per matched term, the

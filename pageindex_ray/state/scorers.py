@@ -49,8 +49,10 @@ class RangeScorer:
     def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names,
                  dense_max_range: int | None = None,
                  k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
-                 attrs_dir: str | None = None, tombstones=None):
+                 attrs_dir: str | None = None, tombstones=None,
+                 docvalues_dir: str | None = None):
         self.shards = list(shards)
+        self._dv_dir = docvalues_dir
         self.lo = int(lo)
         self.hi = int(hi)
         # range-local (0-based) tombstoned doc ids: every scoring surface
@@ -234,6 +236,63 @@ class RangeScorer:
                 out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
                 continue
             out.append(topk_from_scores(uniq + self.lo, vals, k))
+        return out
+
+    def _dv_slice(self, col: str):
+        """Range-local (sorted global doc_ids, vals) slice of the docvalues
+        sidecar, loaded lazily and cached per column."""
+        cache = getattr(self, "_dv_cache", None)
+        if cache is None:
+            cache = self._dv_cache = {}
+        if col not in cache:
+            if self._dv_dir is None:
+                raise ValueError("scorer has no docvalues sidecar")
+            from ..pipelines.docvalues import DocValueStore
+
+            cache[col] = DocValueStore(self._dv_dir).slice(col, self.lo, self.hi)
+        return cache[col]
+
+    def sort_many(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        col: str,
+        k: int,
+        descending: bool,
+        where=(),
+    ) -> list:
+        """Sort-by-field: per query, this range's top-k MATCHING docs
+        ordered by the doc-values column (value desc|asc, doc_id asc).
+        Term postings come through the same idf-scored cache the scoring
+        paths use (contributions ignored — membership only), so a sort
+        query warms the same state a scored query reuses."""
+        union: dict[str, float] = {}
+        for _, tds in queries:
+            union.update(tds)
+        arrays = self._ensure_terms(sorted(union.items()))
+        dv_ids, dv_vals = self._dv_slice(col)
+        from ..pipelines.attrs import membership_mask
+
+        out = []
+        for _, tds in queries:
+            parts = [ids for t, _ in tds for ids, _ in arrays.get(t, ())]
+            if not parts:
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            uniq = np.unique(np.concatenate(parts))
+            if len(self._tomb_local):
+                uniq = uniq[~membership_mask(self._tomb_local, uniq)]
+            if where and len(uniq):
+                uniq = uniq[self._where_keep(uniq, where)]
+            if not len(uniq):
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            docs = uniq + self.lo
+            pos = np.searchsorted(dv_ids, docs)
+            vals = dv_vals[pos]
+            order = (
+                np.lexsort((docs, -vals)) if descending else np.lexsort((docs, vals))
+            )[:k]
+            out.append((docs[order], vals[order]))
         return out
 
     def _ensure_wand_terms(self, term_idfs: list[tuple[str, float]]) -> dict[str, list[dict]]:
@@ -546,7 +605,8 @@ class RangeScorer:
 def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int,
                      dense_max_range: int | None = None,
                      k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
-                     attrs_dir: str | None = None, tombstones=None):
+                     attrs_dir: str | None = None, tombstones=None,
+                     docvalues_dir: str | None = None):
     """Create RangeScorer actors over conv-aligned doc ranges of ~equal size.
 
     Ranges split the conversation table (never a conversation), so every
@@ -571,6 +631,7 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
             RangeScorer.remote(
                 shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object),
                 dense_max_range, k1, b, avgdl, attrs_dir, tombstones,
+                docvalues_dir,
             )
         )
     return scorers

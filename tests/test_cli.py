@@ -94,3 +94,16 @@ def test_cli_round3_surfaces(ray_session, built_index, tmp_path, capsys):
     assert main(["span", "--index", idx, "--query", "the of", "--slop", "5"]) == 0
     spans = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(spans, list)
+
+
+def test_cli_docvalues_sort(ray_session, built_index, capsys):
+    from pageindex_ray.__main__ import main
+
+    idx = built_index["index_dir"]
+    assert main(["docvalues", "--index", idx, "--input", built_index["transcripts"]]) == 0
+    capsys.readouterr()
+    assert main(["search", "--index", idx, "--query", "the of", "--sort-by", "ts"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and "sort_value" in hits[0]
+    vals = [h["sort_value"] for h in hits]
+    assert vals == sorted(vals, reverse=True)
