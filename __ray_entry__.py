@@ -263,6 +263,19 @@ def _q_sorted_search(sf_dir: str):
         eng.shutdown()
 
 
+def _q_date_histogram(sf_dir: str):
+    """date_histogram aggregation: per query, matching-turn counts per DAY
+    (bucket = epoch_us // 86_400_000_000 over the ts doc-values column)."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_docvalues(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        return eng.histogram_batch(_load_queries(sf_dir), by="ts", width=86_400_000_000)
+    finally:
+        eng.shutdown()
+
+
 def _q_collocations(sf_dir: str):
     """Bigram PMI collocations (pipelines/collocations.py): per-batch
     pre-aggregated unigram/bigram counts -> one distinct-key groupby ->
@@ -1058,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_export": _q_search_export,
         "collocations": _q_collocations,
         "sorted_search": _q_sorted_search,
+        "date_histogram": _q_date_histogram,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -1654,6 +1668,31 @@ SELECT query_id,
        doc_id
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "date_histogram": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, ts, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT ts, toks,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), tok AS (
+  SELECT doc_id, any_value(ts) AS ts, unnest(list_distinct(toks)) AS term
+  FROM docs GROUP BY doc_id, toks
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.ts
+  FROM q JOIN tok ON q.term = tok.term
+)
+SELECT query_id,
+       epoch_us(ts) // 86400000000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched
+GROUP BY query_id, epoch_us(ts) // 86400000000
+ORDER BY query_id, bucket
         """,
         "sorted_search": f"""
 WITH base AS (

@@ -1209,6 +1209,88 @@ class SearchEngine:
             }
         )
 
+    def histogram_batch(
+        self,
+        queries: list[tuple[int, str]],
+        by: str,
+        width: int,
+        where: dict | None = None,
+    ) -> pa.Table:
+        """Histogram aggregation over MATCHING docs (Elasticsearch's
+        date_histogram shape): per query, the count of matching docs per
+        fixed-width bucket of the doc-values column (bucket = value //
+        width, in the column's source unit — e.g. width=86_400_000_000 on
+        a timestamp[us] column is a daily histogram). Zero-count buckets
+        are omitted. One scorer fan-out (or one bulk term fetch) serves the
+        batch. Output: query_id, bucket, n_docs — sorted."""
+        if self.docvalues is None:
+            raise ValueError(
+                "histograms require a docvalues sidecar: run build_docvalues() first"
+            )
+        if by not in self.docvalues.columns:
+            raise KeyError(
+                f"docvalues column {by!r} not in sidecar {sorted(self.docvalues.columns)}"
+            )
+        if width <= 0:
+            raise ValueError("histogram width must be positive")
+        where_norm = normalize_where(where, self.attrs)
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        counts_by_qid: dict[int, dict[int, int]] = {}
+        if self.scorers:
+            self._fetch_dfs(sorted({t for _, ts in per_query for t in ts}))
+            items = [(qid, self._term_idfs(ts)) for qid, ts in per_query]
+            live = [(qid, tidfs) for qid, tidfs in items if tidfs]
+            if live:
+                per_scorer = ray.get(
+                    [
+                        s.hist_many.remote(live, by, int(width), where_norm)
+                        for s in self.scorers
+                    ]
+                )
+                for i, (qid, _) in enumerate(live):
+                    agg: dict[int, int] = defaultdict(int)
+                    for ps in per_scorer:
+                        b, c = ps[i]
+                        for bb, cc in zip(b.tolist(), c.tolist()):
+                            agg[bb] += cc
+                    counts_by_qid[qid] = agg
+        else:
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            self._term_arrays(all_terms)
+            for qid, terms in per_query:
+                per_term = self.term_doc_ids(terms)
+                if not per_term:
+                    continue
+                docs = np.unique(np.concatenate(list(per_term.values())))
+                if len(self.tombstones):
+                    docs = docs[~membership_mask(self.tombstones, docs)]
+                if where_norm and len(docs):
+                    keep = np.ones(len(docs), dtype=bool)
+                    for col, values in where_norm:
+                        keep &= membership_mask(self._where_ids(col, values), docs)
+                    docs = docs[keep]
+                if not len(docs):
+                    continue
+                buckets = self._dv_values(by, docs) // int(width)
+                b, c = np.unique(buckets, return_counts=True)
+                counts_by_qid[qid] = dict(zip(b.tolist(), c.tolist()))
+        qids, bks, ns = [], [], []
+        for qid, _ in per_query:
+            agg = counts_by_qid.get(qid)
+            if not agg:
+                continue
+            for bb in sorted(agg):
+                qids.append(qid)
+                bks.append(bb)
+                ns.append(agg[bb])
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "bucket": pa.array(bks, type=pa.int64()),
+                "n_docs": pa.array(ns, type=pa.int64()),
+            }
+        )
+
     def sorted_search(
         self, query_text: str, by: str, k: int = 10, descending: bool = True,
         where: dict | None = None,

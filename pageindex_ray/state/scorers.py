@@ -295,6 +295,44 @@ class RangeScorer:
             out.append((docs[order], vals[order]))
         return out
 
+    def hist_many(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        col: str,
+        width: int,
+        where=(),
+    ) -> list:
+        """Histogram aggregation: per query, this range's MATCHING docs
+        bucketed by floor-divided doc value (bucket = value // width).
+        Returns (bucket_ids, counts) per query; disjoint ranges make the
+        driver's element-wise sum the global histogram."""
+        union: dict[str, float] = {}
+        for _, tds in queries:
+            union.update(tds)
+        arrays = self._ensure_terms(sorted(union.items()))
+        dv_ids, dv_vals = self._dv_slice(col)
+        from ..pipelines.attrs import membership_mask
+
+        out = []
+        for _, tds in queries:
+            parts = [ids for t, _ in tds for ids, _ in arrays.get(t, ())]
+            if not parts:
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            uniq = np.unique(np.concatenate(parts))
+            if len(self._tomb_local):
+                uniq = uniq[~membership_mask(self._tomb_local, uniq)]
+            if where and len(uniq):
+                uniq = uniq[self._where_keep(uniq, where)]
+            if not len(uniq):
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            pos = np.searchsorted(dv_ids, uniq + self.lo)
+            buckets = dv_vals[pos] // width
+            b, c = np.unique(buckets, return_counts=True)
+            out.append((b, c.astype(np.int64)))
+        return out
+
     def _ensure_wand_terms(self, term_idfs: list[tuple[str, float]]) -> dict[str, list[dict]]:
         """Block-sliced compressed infos for the range ([lo, hi) blocks
         only leave the shards; edge docs are clamped by the traversal)."""

@@ -108,3 +108,44 @@ def test_error_paths(engine, ray_session, built_index, tmp_path):
         _as_int64(pa.array([1, None], type=pa.int64()), "x")
     with pytest.raises(TypeError):
         _as_int64(pa.array(["a"]), "x")
+
+
+def test_histogram_matches_brute_force(engine, built_index):
+    width = 3_600_000_000  # hourly over the synthetic ts space
+    for q in ["the of", "and it"]:
+        got = {
+            (r["bucket"],): r["n_docs"]
+            for r in engine.histogram_batch([(0, q)], by="ts", width=width).to_pylist()
+        }
+        want_pairs = _golden_sorted(built_index, engine, q, k=10**9, descending=True)
+        import collections
+
+        want = collections.Counter(v // width for _, v in want_pairs)
+        assert got == {(b,): c for b, c in want.items()}, q
+
+
+def test_histogram_distributed_matches_driver(ray_session, built_index, dv_built):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    dist = SearchEngine(built_index["index_dir"], num_shards=4, num_scorers=3)
+    driver = SearchEngine(built_index["index_dir"], num_shards=4)
+    try:
+        qt = pq.read_table(built_index["queries"])
+        queries = list(
+            zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+        )[:8]
+        a = driver.histogram_batch(queries, by="ts", width=3_600_000_000)
+        b = dist.histogram_batch(queries, by="ts", width=3_600_000_000)
+        assert a.to_pylist() == b.to_pylist()
+    finally:
+        driver.shutdown()
+        dist.shutdown()
+
+
+def test_histogram_validation(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.histogram_batch([(0, "the")], by="ts", width=0)
+    with _pt.raises(KeyError):
+        engine.histogram_batch([(0, "the")], by="nope", width=10)
