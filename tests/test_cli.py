@@ -52,11 +52,17 @@ def test_cli_build_search_append(ray_session, tiny_corpus, tmp_path, capsys):
     assert ray.is_initialized()
 
 
-def test_cli_round3_surfaces(ray_session, built_index, tmp_path, capsys):
+def test_cli_round3_surfaces(ray_session, tiny_corpus, tmp_path, capsys):
     """The new-surface CLI doors: similarity selection, boosts, pagination,
-    export, ordered span-near."""
+    export, ordered span-near. Builds its OWN index: the sidecar builds
+    below must not mutate the shared session fixture (test_positions'
+    fixture asserts its first build is not a resume)."""
     from pageindex_ray.__main__ import main
 
+    built_index = {"index_dir": str(tmp_path / "cli_idx"), **tiny_corpus}
+    assert main(["build", "--input", tiny_corpus["transcripts"],
+                 "--index", built_index["index_dir"], "--partitions", "4"]) == 0
+    capsys.readouterr()
     idx = built_index["index_dir"]
 
     assert main(["search", "--index", idx, "--query", "the", "--similarity", "lm"]) == 0
@@ -96,11 +102,14 @@ def test_cli_round3_surfaces(ray_session, built_index, tmp_path, capsys):
     assert isinstance(spans, list)
 
 
-def test_cli_docvalues_sort(ray_session, built_index, capsys):
+def test_cli_docvalues_sort(ray_session, tiny_corpus, tmp_path, capsys):
     from pageindex_ray.__main__ import main
 
-    idx = built_index["index_dir"]
-    assert main(["docvalues", "--index", idx, "--input", built_index["transcripts"]]) == 0
+    idx = str(tmp_path / "cli_dv_idx")
+    assert main(["build", "--input", tiny_corpus["transcripts"],
+                 "--index", idx, "--partitions", "4"]) == 0
+    capsys.readouterr()
+    assert main(["docvalues", "--index", idx, "--input", tiny_corpus["transcripts"]]) == 0
     capsys.readouterr()
     assert main(["search", "--index", idx, "--query", "the of", "--sort-by", "ts"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -77,12 +77,22 @@ def test_sorted_distributed_matches_driver(ray_session, built_index, dv_built):
         dist.shutdown()
 
 
-def test_sorted_search_composes_with_where(ray_session, built_index, dv_built):
+def test_sorted_search_composes_with_where(ray_session, built_index, tmp_path):
+    """Own index copy: building attrs on the shared fixture would turn
+    test_attrs' non-resume fixture assert into an ordering hazard."""
+    import shutil
+
+    from pageindex_ray.config import BuildConfig
     from pageindex_ray.pipelines.attrs import build_attrs
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.docvalues import build_docvalues
     from pageindex_ray.pipelines.search import SearchEngine
 
-    build_attrs(built_index["index_dir"], built_index["transcripts"], columns=("role", "tool"))
-    eng = SearchEngine(built_index["index_dir"], num_shards=4)
+    idx = str(tmp_path / "dv_where_idx")
+    build_index(built_index["transcripts"], idx, BuildConfig(num_partitions=8))
+    build_docvalues(idx, built_index["transcripts"], columns=("ts",))
+    build_attrs(idx, built_index["transcripts"], columns=("role", "tool"))
+    eng = SearchEngine(idx, num_shards=4)
     try:
         rows = eng.sorted_search("the of", by="ts", k=10, where={"role": "user"})
         assert rows
