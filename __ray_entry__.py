@@ -1444,6 +1444,23 @@ def _query_string_sql(tpath: str = _TPATH, qpath: str = _QPATH, derived=None) ->
             conds.append(
                 f"NOT EXISTS (SELECT 1 FROM j WHERE j.doc_id = sc.doc_id AND contains(j.jt, '{needle}'))"
             )
+        for ph, slop in s.near_phrases:
+            # ordered span-near existence: the twin of span_near_search's
+            # greedy chain (order-constrained position join, span <= slop)
+            aliases = [f"np{i}" for i in range(len(ph))]
+            frm2 = ", ".join(f"pos {a}" for a in aliases)
+            conds2 = [f"np0.term = '{ph[0]}'", "np0.doc_id = sc.doc_id"]
+            for i in range(1, len(ph)):
+                conds2 += [
+                    f"np{i}.term = '{ph[i]}'",
+                    f"np{i}.doc_id = sc.doc_id",
+                    f"np{i}.p > np{i-1}.p",
+                ]
+            span = f"np{len(ph)-1}.p - np0.p - {len(ph)-1}" if len(ph) > 1 else "0"
+            conds.append(
+                f"EXISTS (SELECT 1 FROM {frm2} WHERE {' AND '.join(conds2)} "
+                f"AND {span} <= {slop})"
+            )
         where = (" WHERE " + " AND ".join(conds)) if conds else ""
         blocks.append(
             f"""
@@ -1488,6 +1505,10 @@ FROM (
           SELECT term, count(*) AS df FROM tf GROUP BY term
         ), j AS (
           SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS jt
+          FROM docs WHERE len(toks) > 0
+        ), pos AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 CAST(unnest(range(len(toks))) AS BIGINT) AS p
           FROM docs WHERE len(toks) > 0
         )
         {' UNION ALL '.join(blocks)}

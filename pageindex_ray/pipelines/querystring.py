@@ -34,7 +34,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-_PART_RE = re.compile(r'[+-]?"[^"]*"|\S+')
+_PART_RE = re.compile(r'[+-]?"[^"]*"(?:~\d+)?|\S+')
 
 
 @dataclass(frozen=True)
@@ -46,12 +46,18 @@ class ParsedQuery:
     not_phrases: tuple[tuple[str, ...], ...]
     prefixes: tuple[str, ...]
     fuzzies: tuple[str, ...]
+    # "a b"~N sloppy phrases (Lucene phrase slop): (tokens, slop) pairs —
+    # the doc must contain the tokens IN ORDER with <= slop extras
+    # interleaved (pipelines/positions.py span_near semantics); tokens score
+    near_phrases: tuple[tuple[tuple[str, ...], int], ...] = ()
 
     def score_literals(self) -> tuple[str, ...]:
         """The non-expanded scoring terms: must + should + positive-phrase
         tokens, sorted distinct (not_phrases never score)."""
         lits = set(self.must) | set(self.should)
         for ph in self.phrases:
+            lits |= set(ph)
+        for ph, _ in self.near_phrases:
             lits |= set(ph)
         return tuple(sorted(lits))
 
@@ -69,10 +75,22 @@ def parse_query_string(qs: str, tokenize) -> ParsedQuery:
     not_phrases: dict[tuple[str, ...], None] = {}
     prefixes: dict[str, None] = {}
     fuzzies: dict[str, None] = {}
+    near_phrases: dict[tuple[tuple[str, ...], int], None] = {}
     for raw in _PART_RE.findall(qs):
         sign = ""
         if raw[0] in "+-" and len(raw) > 1:
             sign, raw = raw[0], raw[1:]
+        m_near = re.fullmatch(r'"([^"]*)"~(\d+)', raw)
+        if m_near:
+            if sign:
+                raise ValueError(
+                    "+/- modifiers are not supported on sloppy-phrase clauses"
+                )
+            toks = tuple(tokenize(m_near.group(1)))
+            if not toks:
+                continue
+            near_phrases[(toks, int(m_near.group(2)))] = None
+            continue
         if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
             toks = tuple(tokenize(raw[1:-1]))
             if not toks:
@@ -110,6 +128,7 @@ def parse_query_string(qs: str, tokenize) -> ParsedQuery:
         not_phrases=tuple(not_phrases),
         prefixes=tuple(prefixes),
         fuzzies=tuple(fuzzies),
+        near_phrases=tuple(near_phrases),
     )
 
 
@@ -119,12 +138,15 @@ def derive_query_strings(
     tokenize,
 ) -> list[tuple[int, str]]:
     """Deterministic mixed query-string set for the driver gate: cycles
-    three shapes over the fixed query texts (sorted distinct tokens t*,
-    corpus-derived phrase p cycled by query id):
+    four shapes over the fixed query texts (sorted distinct tokens t*,
+    corpus-derived phrase p cycled by query id; p0/plast/pn = the phrase's
+    first/last token and length):
 
-        qid % 3 == 0:  +t0 t1 -tlast   (t1/-tlast only when enough tokens)
-        qid % 3 == 1:  t0 "p"          (phrase docs, ranked)
-        qid % 3 == 2:  t0 pre(t0)* -"p"
+        qid % 4 == 0:  +t0 t1 -tlast       (t1/-tlast only when enough tokens)
+        qid % 4 == 1:  t0 "p"              (phrase docs, ranked)
+        qid % 4 == 2:  t0 pre(t0)* -"p"
+        qid % 4 == 3:  t0 "p0 plast"~(pn-2)  (sloppy phrase; falls back to
+                                              shape 0 when p has < 3 tokens)
 
     Token-less queries are skipped — same rule everywhere."""
     ph = [text for _, text in phrases]
@@ -134,17 +156,20 @@ def derive_query_strings(
         if not toks:
             continue
         p = ph[qid % len(ph)] if ph else None
-        v = qid % 3
-        if v == 0 or p is None:
+        v = qid % 4
+        p_toks = list(tokenize(p)) if p is not None else []
+        if v == 3 and len(p_toks) >= 3:
+            qs = f'{toks[0]} "{p_toks[0]} {p_toks[-1]}"~{len(p_toks) - 2}'
+        elif v == 1 and p is not None:
+            qs = f'{toks[0]} "{p}"'
+        elif v == 2 and p is not None:
+            qs = f'{toks[0]} {toks[0][:4]}* -"{p}"'
+        else:
             if len(toks) >= 3:
                 qs = f"+{toks[0]} {toks[1]} -{toks[-1]}"
             elif len(toks) == 2:
                 qs = f"+{toks[0]} {toks[1]}"
             else:
                 qs = f"+{toks[0]}"
-        elif v == 1:
-            qs = f'{toks[0]} "{p}"'
-        else:
-            qs = f'{toks[0]} {toks[0][:4]}* -"{p}"'
         out.append((qid, qs))
     return out

@@ -1072,17 +1072,27 @@ class SearchEngine:
         with zero extra infrastructure. Output: query_id, rank, doc_id,
         rrf_score."""
         per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
-        all_terms = sorted({t for _, ts in per_query for t in ts})
-        self._term_arrays(all_terms)
-        self._term_arrays_lm(all_terms, mu)
+        if self.scorers:
+            # ONE fan-out per ranker for the whole batch (not per query)
+            bm_results = self._score_batch_distributed(per_query, depth, "turn")
+            lm_results = self._lm_batch_distributed(per_query, depth, mu)
+        else:
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            self._term_arrays(all_terms)
+            self._term_arrays_lm(all_terms, mu)
+            bm_results = lm_results = None
         qids, ranks, out_docs, out_scores = [], [], [], []
-        for qid, terms in per_query:
+        for i, (qid, terms) in enumerate(per_query):
+            if bm_results is not None:
+                pair = (bm_results[i], lm_results[i])
+            else:
+                pair = (
+                    self._topk_turn(terms, depth, use_wand=False),
+                    self._lm_topk_turn(terms, depth, mu),
+                )
             fused: dict[int, float] = defaultdict(float)
-            for res in (
-                self._topk_turn(terms, depth, use_wand=False),
-                self._lm_topk_turn(terms, depth, mu),
-            ):
-                if res is None:
+            for res in pair:
+                if res is None or not len(res[0]):
                     continue
                 docs, _ = res
                 for r, d in enumerate(docs.tolist()):
@@ -1853,6 +1863,9 @@ class SearchEngine:
         phrase_reqs: list[tuple[int, str]] = []
         req_of: list[tuple[int, int]] = []  # spec index -> request ids
         phrase_of_spec: list[tuple[list[int], list[int]]] = []
+        # sloppy phrases ("a b"~N) answer from the same sidecar via the
+        # ordered span-near matcher, one pass per DISTINCT slop value
+        span_reqs_by_slop: dict[int, list[tuple[int, str]]] = defaultdict(list)
         for si, (_, s) in enumerate(specs):
             inc, exc = [], []
             for ph in s.phrases:
@@ -1862,9 +1875,21 @@ class SearchEngine:
                 exc.append(len(phrase_reqs))
                 phrase_reqs.append((len(phrase_reqs), " ".join(ph)))
             phrase_of_spec.append((inc, exc))
+        # second pass: span requests get ids ABOVE every phrase id (a single
+        # shared namespace — interleaved assignment collided)
+        next_rid = len(phrase_reqs)
+        for si, (_, s) in enumerate(specs):
+            for ph, slop in s.near_phrases:
+                phrase_of_spec[si][0].append(next_rid)
+                span_reqs_by_slop[int(slop)].append((next_rid, " ".join(ph)))
+                next_rid += 1
         ids_by_req: dict[int, np.ndarray] = {}
-        if phrase_reqs:
-            from .positions import phrase_search_positional, positions_dir_of
+        if phrase_reqs or span_reqs_by_slop:
+            from .positions import (
+                phrase_search_positional,
+                positions_dir_of,
+                span_near_search,
+            )
 
             if not os.path.exists(
                 os.path.join(positions_dir_of(self.index_dir), "_SUCCESS")
@@ -1874,7 +1899,20 @@ class SearchEngine:
                     "sidecar: run build_positions() (or `python -m pageindex_ray "
                     "positions`) on this index first"
                 )
-            ptab = phrase_search_positional(self.index_dir, phrase_reqs)
+            tabs = []
+            if phrase_reqs:
+                tabs.append(
+                    phrase_search_positional(self.index_dir, phrase_reqs).select(
+                        ["query_id", "doc_id"]
+                    )
+                )
+            for slop, reqs in sorted(span_reqs_by_slop.items()):
+                tabs.append(
+                    span_near_search(self.index_dir, reqs, slop=slop).select(
+                        ["query_id", "doc_id"]
+                    )
+                )
+            ptab = pa.concat_tables(tabs)
             rq = ptab.column("query_id").to_numpy()
             rd = ptab.column("doc_id").to_numpy()
             for rid in np.unique(rq):

@@ -193,3 +193,23 @@ def test_explain_reconciles_with_both_rankers(engine, built_index):
                 sum(r["bm25_contrib"] for r in ex["matched_terms"]), ex["score"],
                 rtol=0, atol=1e-12,
             )
+
+
+def test_rrf_distributed_matches_driver(ray_session, built_index):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    dist = SearchEngine(built_index["index_dir"], num_shards=4, num_scorers=3)
+    driver = SearchEngine(built_index["index_dir"], num_shards=4)
+    try:
+        import pyarrow.parquet as pq
+
+        qt = pq.read_table(built_index["queries"])
+        queries = list(
+            zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+        )[:10]
+        a = driver.rrf_search_batch(queries, k=10, depth=25)
+        b = dist.rrf_search_batch(queries, k=10, depth=25)
+        assert a.to_pylist() == b.to_pylist()
+    finally:
+        driver.shutdown()
+        dist.shutdown()

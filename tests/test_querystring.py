@@ -147,3 +147,49 @@ def test_phrase_clause_filters_and_scores(ray_session, tmp_path):
             eng2.shutdown()
     finally:
         eng.shutdown()
+
+
+def test_near_phrase_clause_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.positions import build_positions
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    rows = {
+        "conv_id": ["c0", "c0", "c1", "c1"],
+        "turn_idx": pa.array([0, 1, 0, 1], type=pa.int32()),
+        "role": ["user"] * 4,
+        "text": [
+            "red quick fox",      # "red fox"~1 matches (1 extra)
+            "fox red",            # wrong order: no match
+            "red fox",            # matches at slop 0
+            "red a b c fox",      # 3 extras: needs slop >= 3
+        ],
+        "tool": pa.array([None] * 4, type=pa.string()),
+        "ts": pa.array([1, 2, 3, 4], type=pa.timestamp("us")),
+    }
+    tpath = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table(rows), tpath)
+    idx = str(tmp_path / "idx")
+    build_index(tpath, idx, BuildConfig(num_partitions=4))
+    build_positions(idx, tpath)
+    eng = SearchEngine(idx, num_shards=2)
+    try:
+        hits = eng.query_string('"red fox"~1', k=10)
+        assert sorted(r["doc_id"] for r in hits) == [0, 2]
+        hits = eng.query_string('"red fox"~3', k=10)
+        assert sorted(r["doc_id"] for r in hits) == [0, 2, 3]
+        # slop 0 == the exact phrase clause
+        a = sorted(r["doc_id"] for r in eng.query_string('"red fox"~0', k=10))
+        b = sorted(r["doc_id"] for r in eng.query_string('"red fox"', k=10))
+        assert a == b == [2]
+        # near-phrase tokens score: a should-term can still outrank
+        hits = eng.query_string('quick "red fox"~9', k=10)
+        assert hits and hits[0]["doc_id"] == 0  # quick + red + fox all score
+        with pytest.raises(ValueError, match="sloppy"):
+            eng.query_string('-"red fox"~1', k=10)
+    finally:
+        eng.shutdown()
