@@ -293,6 +293,31 @@ def main(argv: list[str] | None = None) -> int:
             if args.after:
                 cs, cd = args.after.split(",", 1)
                 after = (float(cs), int(cd))
+            # fail fast on flag combinations a path would silently ignore —
+            # the library raises on every unsupported combination and the
+            # CLI must not be the door that quietly drops a filter
+            if args.sort_by and args.similarity != "bm25":
+                raise SystemExit("--sort-by orders by field; --similarity does not apply")
+            if args.similarity in ("lm", "rrf"):
+                unsupported = [
+                    name
+                    for name, v in [
+                        ("--where", args.where), ("--boost", args.boost),
+                        ("--after", args.after), ("--conv", args.conv),
+                        ("--segment", args.segment), ("--wand", args.wand),
+                    ]
+                    if v
+                ]
+                if unsupported:
+                    raise SystemExit(
+                        f"--similarity {args.similarity} does not support "
+                        + " ".join(unsupported)
+                    )
+            if args.sort_by and (args.boost or args.after or args.conv or args.segment
+                                 or args.wand):
+                raise SystemExit(
+                    "--sort-by supports --where only (no boost/after/granularity/wand)"
+                )
             if args.sort_by:
                 hits = eng.sorted_search(
                     args.query, by=args.sort_by, k=args.k, descending=not args.asc,
@@ -302,7 +327,19 @@ def main(argv: list[str] | None = None) -> int:
                 hits = eng.lm_search(args.query, k=args.k)
             elif args.similarity == "rrf":
                 t = eng.rrf_search_batch([(0, args.query)], k=args.k)
-                hits = t.to_pylist()
+                # same single-query hit shape as the other rankers
+                docs = t.column("doc_id").to_numpy()
+                convs, turns = eng.doc_location(docs)
+                hits = [
+                    {
+                        "rank": int(r["rank"]),
+                        "doc_id": int(r["doc_id"]),
+                        "score": float(r["rrf_score"]),
+                        "conv_id": str(convs[i]),
+                        "turn_idx": int(turns[i]),
+                    }
+                    for i, r in enumerate(t.to_pylist())
+                ]
             else:
                 hits = eng.search(
                     args.query,

@@ -77,6 +77,8 @@ def _attr_rows(batch: pa.Table, offsets_ref, columns: tuple[str, ...]) -> pa.Tab
         conv = batch.column("conv_id").to_pylist()
         base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
     doc_id = base + turn
+    if not len(doc_id):  # empty input block (e.g. an empty parquet part)
+        return ATTR_SCHEMA.empty_table()
 
     out_col: list[str] = []
     out_val: list[str] = []

@@ -86,6 +86,8 @@ def _dv_rows(batch: pa.Table, offsets_ref, columns: tuple[str, ...]) -> pa.Table
         conv = batch.column("conv_id").to_pylist()
         base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
     doc_id = base + turn
+    if not len(doc_id):  # empty input block (e.g. an empty parquet part)
+        return DV_SCHEMA.empty_table()
     order = np.argsort(doc_id, kind="stable")
     doc_sorted = doc_id[order]
 

@@ -184,11 +184,22 @@ def export_search(
     """Stream the full match set to partitioned parquet (the 100-TB
     consumption shape: never materialized on the driver). Returns
     {"out_dir", "n_rows"}."""
+    # stream into a tmp dir and rename into place: write_parquet APPENDS
+    # uniquely-named part files, so writing straight into an existing
+    # out_dir would interleave this query's parts with a previous export's
+    # (and the footer count below would sum both)
+    tmp_dir = out_dir.rstrip("/") + ".tmp"
+    for d in (tmp_dir, out_dir):
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d)
     ds = search_to_dataset(index_dir, query_text, min_should_match)
-    ds.write_parquet(out_dir)  # streams: blocks flow straight to files
+    ds.write_parquet(tmp_dir)  # streams: blocks flow straight to files
     n = sum(
-        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
-        for f in os.listdir(out_dir)
+        pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
+        for f in os.listdir(tmp_dir)
         if f.endswith(".parquet")
     )
+    os.replace(tmp_dir, out_dir)
     return {"out_dir": out_dir, "n_rows": int(n)}

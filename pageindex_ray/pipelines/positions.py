@@ -403,13 +403,14 @@ def _ordered_min_span(pos_lists: list[np.ndarray]) -> int:
 
 
 def _span_near_block(
-    group: pa.Table, qterms: list[tuple[int, list[str]]], slop: int
+    group: pa.Table, qterms: list[tuple[int, list[str], int]]
 ) -> pa.Table:
-    """Ordered span matching inside one input block: per query, docs where
-    the query's tokens appear IN ORDER at strictly increasing positions
-    with span = p_last - p_first - (k-1) <= slop; emits the minimal span.
-    Duplicate query tokens are legitimate (each consumes its own
-    position)."""
+    """Ordered span matching inside one input block: per (query, slop)
+    request, docs where the query's tokens appear IN ORDER at strictly
+    increasing positions with span = p_last - p_first - (k-1) <= slop;
+    emits the minimal span. The slop rides PER REQUEST, so one sidecar
+    pass answers a batch mixing slop values. Duplicate query tokens are
+    legitimate (each consumes its own position)."""
     group = group.combine_chunks()
     terms = group.column("term").to_pylist()
     by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -422,7 +423,7 @@ def _span_near_block(
     out_q: list[int] = []
     out_d: list[int] = []
     out_s: list[int] = []
-    for qid, toks in qterms:
+    for qid, toks, slop in qterms:
         if not toks or any(t not in by_term for t in toks):
             continue
         cand: np.ndarray | None = None
@@ -474,6 +475,21 @@ def span_near_search(
     + groupby(block); per-block work is a greedy position chain per
     candidate doc. Unlike proximity, token ORDER matters and duplicate
     query tokens each consume their own position."""
+    return span_near_search_multi(
+        index_dir, [(qid, text, int(slop)) for qid, text in queries], tokenizer
+    )
+
+
+def span_near_search_multi(
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    tokenizer=None,
+) -> pa.Table:
+    """Per-request-slop form of ``span_near_search``: each item is
+    (query_id, text, slop). ONE sidecar read + groupby answers the whole
+    batch even when slop values differ (the query-string path mixes "a
+    b"~1 and "c d"~3 clauses in one batch — a pass per distinct slop paid
+    a corpus-wide shuffle each)."""
     from ..sources.readers import read_parquet_clean
     from .build import load_meta
 
@@ -492,8 +508,10 @@ def span_near_search(
         )
     spec = resolve_tokenizer(tokenizer if tokenizer is not None else pmeta["tokenizer"])
 
-    qterms = [(int(qid), list(spec.tokenize(text))) for qid, text in queries]
-    all_terms = sorted({t for _, toks in qterms for t in toks})
+    qterms = [
+        (int(qid), list(spec.tokenize(text)), int(slop)) for qid, text, slop in queries
+    ]
+    all_terms = sorted({t for _, toks, _ in qterms for t in toks})
     if not all_terms:
         return PROX_SCHEMA.empty_table()
 
@@ -503,7 +521,7 @@ def span_near_search(
         filter=pc.field("term").isin(all_terms),
     )
     out = ds.groupby("block").map_groups(
-        _span_near_block, fn_args=(qterms, int(slop)), batch_format="pyarrow"
+        _span_near_block, fn_args=(qterms,), batch_format="pyarrow"
     )
     tables = list(out.iter_batches(batch_format="pyarrow"))
     tables = [t.select(PROX_SCHEMA.names) for t in tables if t.num_rows]

@@ -1073,9 +1073,41 @@ class SearchEngine:
         rrf_score."""
         per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
         if self.scorers:
-            # ONE fan-out per ranker for the whole batch (not per query)
-            bm_results = self._score_batch_distributed(per_query, depth, "turn")
-            lm_results = self._lm_batch_distributed(per_query, depth, mu)
+            # ONE fan-out per ranker for the whole batch — and BOTH rankers'
+            # futures submitted before either is collected (the two are
+            # independent, so fusion pays ~max(bm25, lm), not their sum)
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            self._fetch_dfs(all_terms)
+            denom_of = dict(self._lm_term_denoms(all_terms, mu))
+            items_bm = [(qid, self._term_idfs(ts)) for qid, ts in per_query]
+            live_bm = [(qid, tds) for qid, tds in items_bm if tds]
+            items_lm = [
+                (qid, [(t, denom_of[t]) for t in ts if t in denom_of])
+                for qid, ts in per_query
+            ]
+            live_lm = [(qid, tds) for qid, tds in items_lm if tds]
+            fut_bm = (
+                [s.score_many.remote(live_bm, depth, "turn") for s in self.scorers]
+                if live_bm
+                else []
+            )
+            fut_lm = (
+                [s.lm_score_many.remote(live_lm, depth, mu) for s in self.scorers]
+                if live_lm
+                else []
+            )
+            per_scorer_bm = ray.get(fut_bm)
+            per_scorer_lm = ray.get(fut_lm)
+            bm_by_qid = {
+                qid: self._merge_partials([ps[i] for ps in per_scorer_bm], depth, "turn")
+                for i, (qid, _) in enumerate(live_bm)
+            }
+            lm_by_qid = {
+                qid: self._merge_partials([ps[i] for ps in per_scorer_lm], depth, "turn")
+                for i, (qid, _) in enumerate(live_lm)
+            }
+            bm_results = [bm_by_qid.get(qid) for qid, _ in per_query]
+            lm_results = [lm_by_qid.get(qid) for qid, _ in per_query]
         else:
             all_terms = sorted({t for _, ts in per_query for t in ts})
             self._term_arrays(all_terms)
@@ -1116,6 +1148,23 @@ class SearchEngine:
         )
 
     # -------------------------------------------------------- sort-by-field
+
+    def _matching_docs(self, terms: list[str], where_norm=()) -> np.ndarray:
+        """Driver-path candidate set: union of the terms' posting ids,
+        tombstones dropped, where-clauses ANDed — the shared front half of
+        every match-only (non-scored) retrieval."""
+        per_term = self.term_doc_ids(terms)
+        if not per_term:
+            return np.empty(0, dtype=np.int64)
+        docs = np.unique(np.concatenate(list(per_term.values())))
+        if len(self.tombstones):
+            docs = docs[~membership_mask(self.tombstones, docs)]
+        if where_norm and len(docs):
+            keep = np.ones(len(docs), dtype=bool)
+            for col, values in where_norm:
+                keep &= membership_mask(self._where_ids(col, values), docs)
+            docs = docs[keep]
+        return docs
 
     def _dv_values(self, col: str, docs: np.ndarray) -> np.ndarray:
         if self.docvalues is None:
@@ -1183,17 +1232,7 @@ class SearchEngine:
                     continue
                 docs, vals = res
             else:
-                per_term = self.term_doc_ids(terms)
-                if not per_term:
-                    continue
-                docs = np.unique(np.concatenate(list(per_term.values())))
-                if len(self.tombstones):
-                    docs = docs[~membership_mask(self.tombstones, docs)]
-                if where_norm and len(docs):
-                    keep = np.ones(len(docs), dtype=bool)
-                    for col, values in where_norm:
-                        keep &= membership_mask(self._where_ids(col, values), docs)
-                    docs = docs[keep]
+                docs = self._matching_docs(terms, where_norm)
                 if not len(docs):
                     continue
                 vals = self._dv_values(by, docs)
@@ -1268,17 +1307,7 @@ class SearchEngine:
             all_terms = sorted({t for _, ts in per_query for t in ts})
             self._term_arrays(all_terms)
             for qid, terms in per_query:
-                per_term = self.term_doc_ids(terms)
-                if not per_term:
-                    continue
-                docs = np.unique(np.concatenate(list(per_term.values())))
-                if len(self.tombstones):
-                    docs = docs[~membership_mask(self.tombstones, docs)]
-                if where_norm and len(docs):
-                    keep = np.ones(len(docs), dtype=bool)
-                    for col, values in where_norm:
-                        keep &= membership_mask(self._where_ids(col, values), docs)
-                    docs = docs[keep]
+                docs = self._matching_docs(terms, where_norm)
                 if not len(docs):
                     continue
                 buckets = self._dv_values(by, docs) // int(width)
@@ -1864,8 +1893,9 @@ class SearchEngine:
         req_of: list[tuple[int, int]] = []  # spec index -> request ids
         phrase_of_spec: list[tuple[list[int], list[int]]] = []
         # sloppy phrases ("a b"~N) answer from the same sidecar via the
-        # ordered span-near matcher, one pass per DISTINCT slop value
-        span_reqs_by_slop: dict[int, list[tuple[int, str]]] = defaultdict(list)
+        # ordered span-near matcher — ONE pass for the whole batch (slop
+        # rides per request)
+        span_reqs: list[tuple[int, str, int]] = []
         for si, (_, s) in enumerate(specs):
             inc, exc = [], []
             for ph in s.phrases:
@@ -1881,14 +1911,14 @@ class SearchEngine:
         for si, (_, s) in enumerate(specs):
             for ph, slop in s.near_phrases:
                 phrase_of_spec[si][0].append(next_rid)
-                span_reqs_by_slop[int(slop)].append((next_rid, " ".join(ph)))
+                span_reqs.append((next_rid, " ".join(ph), int(slop)))
                 next_rid += 1
         ids_by_req: dict[int, np.ndarray] = {}
-        if phrase_reqs or span_reqs_by_slop:
+        if phrase_reqs or span_reqs:
             from .positions import (
                 phrase_search_positional,
                 positions_dir_of,
-                span_near_search,
+                span_near_search_multi,
             )
 
             if not os.path.exists(
@@ -1906,9 +1936,9 @@ class SearchEngine:
                         ["query_id", "doc_id"]
                     )
                 )
-            for slop, reqs in sorted(span_reqs_by_slop.items()):
+            if span_reqs:
                 tabs.append(
-                    span_near_search(self.index_dir, reqs, slop=slop).select(
+                    span_near_search_multi(self.index_dir, span_reqs).select(
                         ["query_id", "doc_id"]
                     )
                 )

@@ -252,6 +252,22 @@ class RangeScorer:
             cache[col] = DocValueStore(self._dv_dir).slice(col, self.lo, self.hi)
         return cache[col]
 
+    def _matching_local(self, tds, arrays, where=()) -> np.ndarray:
+        """Range-local candidate set for match-only retrieval: union of the
+        query terms' local posting ids, tombstones dropped, where-clauses
+        ANDed — shared by sort_many and hist_many."""
+        from ..pipelines.attrs import membership_mask
+
+        parts = [ids for t, _ in tds for ids, _ in arrays.get(t, ())]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        uniq = np.unique(np.concatenate(parts))
+        if len(self._tomb_local):
+            uniq = uniq[~membership_mask(self._tomb_local, uniq)]
+        if where and len(uniq):
+            uniq = uniq[self._where_keep(uniq, where)]
+        return uniq
+
     def sort_many(
         self,
         queries: list[tuple[int, list[tuple[str, float]]]],
@@ -270,19 +286,9 @@ class RangeScorer:
             union.update(tds)
         arrays = self._ensure_terms(sorted(union.items()))
         dv_ids, dv_vals = self._dv_slice(col)
-        from ..pipelines.attrs import membership_mask
-
         out = []
         for _, tds in queries:
-            parts = [ids for t, _ in tds for ids, _ in arrays.get(t, ())]
-            if not parts:
-                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
-                continue
-            uniq = np.unique(np.concatenate(parts))
-            if len(self._tomb_local):
-                uniq = uniq[~membership_mask(self._tomb_local, uniq)]
-            if where and len(uniq):
-                uniq = uniq[self._where_keep(uniq, where)]
+            uniq = self._matching_local(tds, arrays, where)
             if not len(uniq):
                 out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
                 continue
@@ -311,19 +317,9 @@ class RangeScorer:
             union.update(tds)
         arrays = self._ensure_terms(sorted(union.items()))
         dv_ids, dv_vals = self._dv_slice(col)
-        from ..pipelines.attrs import membership_mask
-
         out = []
         for _, tds in queries:
-            parts = [ids for t, _ in tds for ids, _ in arrays.get(t, ())]
-            if not parts:
-                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
-                continue
-            uniq = np.unique(np.concatenate(parts))
-            if len(self._tomb_local):
-                uniq = uniq[~membership_mask(self._tomb_local, uniq)]
-            if where and len(uniq):
-                uniq = uniq[self._where_keep(uniq, where)]
+            uniq = self._matching_local(tds, arrays, where)
             if not len(uniq):
                 out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
                 continue

@@ -401,7 +401,11 @@ class PostingShard:
                 )
                 self._cache_elems += 2 * len(ids)
             if self._cache_elems > self._cache_budget:
+                # the element budget covers BOTH decode caches: clearing
+                # only _scored here left _lm resident and unaccounted, so
+                # alternating BM25/LM streams could hold ~2x the budget
                 self._scored.clear()
+                self._lm.clear()
                 self._cache_elems = 0
             self._scored[t] = cached
         return cached

@@ -71,7 +71,16 @@ def test_cli_round3_surfaces(ray_session, tiny_corpus, tmp_path, capsys):
 
     assert main(["search", "--index", idx, "--query", "the of", "--similarity", "rrf"]) == 0
     rrf_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rrf_hits and "rrf_score" in rrf_hits[0]
+    # uniform hit shape across rankers (a consumer can flip --similarity)
+    assert rrf_hits and {"rank", "doc_id", "score", "conv_id", "turn_idx"} <= set(rrf_hits[0])
+    # unsupported flag combinations fail fast instead of silently dropping
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "x", "--similarity", "lm",
+              "--where", "role=user"])
+    with _pt.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "x", "--sort-by", "ts", "--wand"])
 
     # pagination: page 2 via the --after cursor disjoint from page 1
     assert main(["search", "--index", idx, "--query", "the", "-k", "5"]) == 0

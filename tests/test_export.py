@@ -81,3 +81,20 @@ def test_export_writes_partitioned_parquet(ray_session, built_index, tmp_path, e
     back = pq.read_table(out)
     assert back.num_rows == len(d)
     assert sorted(back.column("doc_id").to_pylist()) == d.tolist()
+
+
+def test_export_overwrites_previous_export(ray_session, built_index, tmp_path, engine):
+    """write_parquet APPENDS uniquely-named part files: a second export to
+    the same dir must replace the first, never interleave with it."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.export import export_search
+
+    out = str(tmp_path / "re_export")
+    export_search(built_index["index_dir"], "the and", out)
+    rep = export_search(built_index["index_dir"], "is", out)
+    d, _ = _serving_full(engine, "is")
+    assert rep["n_rows"] == len(d)
+    back = pq.read_table(out)
+    assert back.num_rows == len(d)
+    assert sorted(back.column("doc_id").to_pylist()) == d.tolist()
