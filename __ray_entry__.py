@@ -276,6 +276,19 @@ def _q_date_histogram(sf_dir: str):
         eng.shutdown()
 
 
+def _q_field_stats(sf_dir: str):
+    """Field-stats aggregation (Elasticsearch stats agg, int64-exact): per
+    query, (n_docs, min, max, sum) of epoch-us ts over matching turns."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_docvalues(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        return eng.field_stats_batch(_load_queries(sf_dir), by="ts")
+    finally:
+        eng.shutdown()
+
+
 def _q_collocations(sf_dir: str):
     """Bigram PMI collocations (pipelines/collocations.py): per-batch
     pre-aggregated unigram/bigram counts -> one distinct-key groupby ->
@@ -1072,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "sorted_search": _q_sorted_search,
         "date_histogram": _q_date_histogram,
+        "field_stats": _q_field_stats,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_conv_max_topk": _q_bm25_conv_max_topk,
         "bool_search": _q_bool_search,
@@ -1689,6 +1703,32 @@ SELECT query_id,
        doc_id
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        "field_stats": f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, ts, {_TOKS} AS toks
+  FROM read_parquet('{_TPATH}')
+), docs AS (
+  SELECT ts, toks,
+         (row_number() OVER (ORDER BY conv_id, turn_idx)) - 1 AS doc_id
+  FROM base
+), tok AS (
+  SELECT doc_id, any_value(ts) AS ts, unnest(list_distinct(toks)) AS term
+  FROM docs GROUP BY doc_id, toks
+), q AS (
+  SELECT query_id, unnest(list_distinct({SQL_TOKENIZE.format(col='text')})) AS term
+  FROM read_parquet('{_QPATH}')
+), matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.ts
+  FROM q JOIN tok ON q.term = tok.term
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(epoch_us(ts)) AS vmin,
+       max(epoch_us(ts)) AS vmax
+FROM matched
+GROUP BY query_id
+ORDER BY query_id
         """,
         "date_histogram": f"""
 WITH base AS (

@@ -1330,6 +1330,66 @@ class SearchEngine:
             }
         )
 
+    def field_stats_batch(
+        self,
+        queries: list[tuple[int, str]],
+        by: str,
+        where: dict | None = None,
+    ) -> pa.Table:
+        """Field-stats aggregation over MATCHING docs (Elasticsearch's
+        stats agg, minus sum/avg: an epoch-us sum over a large match set
+        overflows int64 and a float mean would break exact arithmetic):
+        per query, (n_docs, min, max) of the doc-values column. Distributed
+        combine is trivially exact: sum of counts, min of mins, max of
+        maxes over disjoint ranges. Output: query_id, n_docs, vmin, vmax —
+        queries with no matches are omitted."""
+        if self.docvalues is None:
+            raise ValueError(
+                "field stats require a docvalues sidecar: run build_docvalues() first"
+            )
+        if by not in self.docvalues.columns:
+            raise KeyError(
+                f"docvalues column {by!r} not in sidecar {sorted(self.docvalues.columns)}"
+            )
+        where_norm = normalize_where(where, self.attrs)
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        stats_by_qid: dict[int, tuple] = {}
+        if self.scorers:
+            self._fetch_dfs(sorted({t for _, ts in per_query for t in ts}))
+            items = [(qid, self._term_idfs(ts)) for qid, ts in per_query]
+            live = [(qid, tidfs) for qid, tidfs in items if tidfs]
+            if live:
+                per_scorer = ray.get(
+                    [s.stats_many.remote(live, by, where_norm) for s in self.scorers]
+                )
+                for i, (qid, _) in enumerate(live):
+                    parts = [ps[i] for ps in per_scorer if ps[i][0] > 0]
+                    if not parts:
+                        continue
+                    stats_by_qid[qid] = (
+                        sum(p[0] for p in parts),
+                        min(p[1] for p in parts),
+                        max(p[2] for p in parts),
+                    )
+        else:
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            self._term_arrays(all_terms)
+            for qid, terms in per_query:
+                docs = self._matching_docs(terms, where_norm)
+                if not len(docs):
+                    continue
+                vals = self._dv_values(by, docs)
+                stats_by_qid[qid] = (int(len(vals)), int(vals.min()), int(vals.max()))
+        qids = [qid for qid, _ in per_query if qid in stats_by_qid]
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "n_docs": pa.array([stats_by_qid[q][0] for q in qids], type=pa.int64()),
+                "vmin": pa.array([stats_by_qid[q][1] for q in qids], type=pa.int64()),
+                "vmax": pa.array([stats_by_qid[q][2] for q in qids], type=pa.int64()),
+            }
+        )
+
     def sorted_search(
         self, query_text: str, by: str, k: int = 10, descending: bool = True,
         where: dict | None = None,

@@ -329,6 +329,33 @@ class RangeScorer:
             out.append((b, c.astype(np.int64)))
         return out
 
+    def stats_many(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        col: str,
+        where=(),
+    ) -> list:
+        """Field-stats aggregation: per query, (n, min, max) of the
+        doc-values column over this range's MATCHING docs — all int64, so
+        the driver's combine (sum of counts, min of mins, max of maxes) is
+        exact. No sum/avg: an epoch-us sum over a large match set overflows
+        int64, and a float mean would break the gate's exact arithmetic.
+        Empty ranges return n=0."""
+        union: dict[str, float] = {}
+        for _, tds in queries:
+            union.update(tds)
+        arrays = self._ensure_terms(sorted(union.items()))
+        dv_ids, dv_vals = self._dv_slice(col)
+        out = []
+        for _, tds in queries:
+            uniq = self._matching_local(tds, arrays, where)
+            if not len(uniq):
+                out.append((0, 0, 0))
+                continue
+            vals = dv_vals[np.searchsorted(dv_ids, uniq + self.lo)]
+            out.append((int(len(vals)), int(vals.min()), int(vals.max())))
+        return out
+
     def _ensure_wand_terms(self, term_idfs: list[tuple[str, float]]) -> dict[str, list[dict]]:
         """Block-sliced compressed infos for the range ([lo, hi) blocks
         only leave the shards; edge docs are clamped by the traversal)."""

@@ -159,3 +159,31 @@ def test_histogram_validation(engine):
         engine.histogram_batch([(0, "the")], by="ts", width=0)
     with _pt.raises(KeyError):
         engine.histogram_batch([(0, "the")], by="nope", width=10)
+
+
+def test_field_stats_match_brute_force_and_distributed(ray_session, built_index, dv_built):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    dist = SearchEngine(built_index["index_dir"], num_shards=4, num_scorers=3)
+    driver = SearchEngine(built_index["index_dir"], num_shards=4)
+    try:
+        qt = pq.read_table(built_index["queries"])
+        queries = list(
+            zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+        )[:8]
+        a = driver.field_stats_batch(queries, by="ts")
+        b = dist.field_stats_batch(queries, by="ts")
+        assert a.to_pylist() == b.to_pylist() and a.num_rows > 0
+        # brute-force golden for one query
+        qid, qtext = queries[0]
+        pairs = _golden_sorted(built_index, driver, qtext, k=10**9)
+        row = [r for r in a.to_pylist() if r["query_id"] == qid][0]
+        vals = [v for _, v in pairs]
+        assert row["n_docs"] == len(vals)
+        assert row["vmin"] == min(vals) and row["vmax"] == max(vals)
+        # absent-term query omitted
+        c = driver.field_stats_batch([(99, "zzzqqq")], by="ts")
+        assert c.num_rows == 0
+    finally:
+        driver.shutdown()
+        dist.shutdown()
