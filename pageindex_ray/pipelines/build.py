@@ -282,9 +282,13 @@ def estimate_hot_terms(transcripts_path, cfg: BuildConfig, sample_rows: int = 20
     pairs = _pa.table({"row": _pc.list_parent_indices(toks), "term": flat}).filter(
         _pc.not_equal(flat, "")
     )
-    counts = pairs.to_pandas().drop_duplicates()["term"].value_counts()
+    # distinct (row, term) pairs, then per-term df — both as Arrow group_bys
+    # (no pandas boxing of the sampled vocabulary)
+    distinct = pairs.group_by(["row", "term"]).aggregate([])
+    counts = distinct.group_by("term").aggregate([("row", "count")])
     threshold = cfg.hot_df_ratio * 0.7 * n
-    return sorted(counts.index[counts.to_numpy() >= threshold].tolist())
+    hot = counts.filter(_pc.greater_equal(counts.column("row_count"), int(np.ceil(threshold))))
+    return sorted(hot.column("term").to_pylist())
 
 
 def build_index(

@@ -210,18 +210,20 @@ class SalienceScorer:
         flat, lengths = tokenize_batch(t or "" for t in texts)
         rows = np.repeat(np.arange(len(texts), dtype=np.int64), lengths)
         # distinct (row, term) pairs -> idf per UNIQUE term (Zipf: far fewer
-        # than tokens) -> one scatter-add per batch; the old version
-        # re-tokenized and summed per row in Python
+        # than tokens) -> one scatter-add per batch; dedup via an Arrow
+        # group_by (hash-dedup in C++, no pandas boxing of the token column)
         if len(flat):
-            import pandas as pd
-
-            pairs = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
-            uniq, inv = np.unique(pairs["term"].to_numpy(dtype=object), return_inverse=True)
+            pairs = pa.table(
+                {"row": pa.array(rows, type=pa.int64()), "term": pa.array(flat, type=pa.string())}
+            ).group_by(["row", "term"]).aggregate([])
+            uniq, inv = np.unique(
+                pairs.column("term").to_numpy(zero_copy_only=False), return_inverse=True
+            )
             idf_u = np.fromiter(
                 (self._idf_micro(t) for t in uniq), dtype=np.int64, count=len(uniq)
             )
             sal = np.zeros(len(texts), dtype=np.int64)
-            np.add.at(sal, pairs["row"].to_numpy(), idf_u[inv])
+            np.add.at(sal, pairs.column("row").to_numpy(), idf_u[inv])
         else:
             sal = np.zeros(len(texts), dtype=np.int64)
         sal_arr = pa.array(sal, type=pa.int64(), mask=lengths == 0)  # token-less -> null
@@ -251,23 +253,17 @@ def conv_salient_summary(sf_dir: str) -> "ray.data.Dataset":
     df_partial_schema = pa.schema([("term", pa.string()), ("pdf", pa.int64())])
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         from ..tokenizer import tokenize_batch
 
         flat, lengths = tokenize_batch(t or "" for t in batch.column("text").to_pylist())
         if not len(flat):
             return df_partial_schema.empty_table()
         rows = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
-        pairs = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
-        counts = pairs["term"].value_counts()
-        return pa.table(
-            {
-                "term": pa.array(counts.index.to_numpy(dtype=object), type=pa.string()),
-                "pdf": pa.array(counts.to_numpy().astype(np.int64), type=pa.int64()),
-            },
-            schema=df_partial_schema,
-        )
+        distinct = pa.table(
+            {"row": pa.array(rows, type=pa.int64()), "term": pa.array(flat, type=pa.string())}
+        ).group_by(["row", "term"]).aggregate([])
+        counts = distinct.group_by("term").aggregate([("row", "count")])
+        return counts.rename_columns(["term", "pdf"]).cast(df_partial_schema)
 
     n_docs = ds.count()
     df_tbl = (

@@ -40,8 +40,9 @@ def q1_pricing(sf_dir: str) -> pa.Table:
     )
 
     # fixed partial schema: an empty input batch must emit the SAME schema
-    # as a populated one (pandas infers object dtypes on empty groupbys,
-    # which used to trip Ray's schema-consistency warning)
+    # as a populated one; Arrow-native group_by keeps the whole partial
+    # zero-conversion (a pandas detour re-boxes every key string AND attaches
+    # unhashable pandas schema metadata that defeats Ray's schema dedup)
     partial_schema = pa.schema(
         [
             ("l_returnflag", pa.string()),
@@ -66,18 +67,13 @@ def q1_pricing(sf_dir: str) -> pa.Table:
                 "disc_c": _cents(disc_price),
             }
         )
-        df = t.to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty_cents=("qty_c", "sum"),
-                sum_base_cents=("base_c", "sum"),
-                sum_disc_cents=("disc_c", "sum"),
-                partial_count=("qty_c", "size"),
-            )
-            .reset_index()
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("disc_c", "sum"), ("qty_c", "count")]
         )
-        return pa.Table.from_pandas(g, schema=partial_schema, preserve_index=False)
+        g = g.select(
+            ["l_returnflag", "l_linestatus", "qty_c_sum", "base_c_sum", "disc_c_sum", "qty_c_count"]
+        ).rename_columns(partial_schema.names)
+        return g.cast(partial_schema)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -109,8 +105,8 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
             batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
         )
         t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(rev)})
-        df = t.to_pandas().groupby("l_orderkey", sort=False).agg(rev_c=("rev_c", "sum")).reset_index()
-        return pa.Table.from_pandas(df, schema=rev_schema, preserve_index=False)
+        g = t.group_by("l_orderkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c"]).cast(rev_schema)
 
     top = (
         li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
@@ -145,7 +141,14 @@ def customer_nation_rollup(sf_dir: str) -> pa.Table:
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    dim_ref = ray.put(dict(zip(dim["n_nationkey"], zip(dim["n_name"], dim["r_name"]))))
+    # broadcast as dense position-indexed arrays (nationkeys are 0..24):
+    # per-batch lookup is then a vectorized numpy take, not a dict loop
+    max_nk = int(dim["n_nationkey"].max())
+    n_by_key = np.empty(max_nk + 1, dtype=object)
+    r_by_key = np.empty(max_nk + 1, dtype=object)
+    n_by_key[dim["n_nationkey"].to_numpy()] = dim["n_name"].to_numpy()
+    r_by_key[dim["n_nationkey"].to_numpy()] = dim["r_name"].to_numpy()
+    dim_ref = ray.put((n_by_key, r_by_key))
 
     annotate_schema = pa.schema(
         [
@@ -158,25 +161,21 @@ def customer_nation_rollup(sf_dir: str) -> pa.Table:
 
     class Annotate:
         def __init__(self):
-            self.lookup = ray.get(dim_ref)
+            self.n_by_key, self.r_by_key = ray.get(dim_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             nk = batch.column("c_nationkey").to_numpy()
-            names = [self.lookup[int(x)] for x in nk]
             t = pa.table(
                 {
-                    "r_name": pa.array([r for _, r in names], type=pa.string()),
-                    "n_name": pa.array([n for n, _ in names], type=pa.string()),
+                    "r_name": pa.array(self.r_by_key[nk], type=pa.string()),
+                    "n_name": pa.array(self.n_by_key[nk], type=pa.string()),
                     "bal_c": _cents(batch.column("c_acctbal")),
                 }
             )
-            df = (
-                t.to_pandas()
-                .groupby(["r_name", "n_name"], sort=False)
-                .agg(sum_acctbal_cents=("bal_c", "sum"), n_customers=("bal_c", "size"))
-                .reset_index()
+            g = t.group_by(["r_name", "n_name"]).aggregate(
+                [("bal_c", "sum"), ("bal_c", "count")]
             )
-            return pa.Table.from_pandas(df, schema=annotate_schema, preserve_index=False)
+            return g.rename_columns(annotate_schema.names).cast(annotate_schema)
 
     from ray.data.aggregate import Sum
 

@@ -113,17 +113,16 @@ def transcripts_role_stats(sf_dir: str) -> pa.Table:
     tpath, _ = ensure_corpus(sf_dir)
     ds = read_parquet_clean(tpath, columns=["role", "text"])
 
+    partial_schema = pa.schema(
+        [("role", pa.string()), ("sum_tokens", pa.int64()), ("n_turns", pa.int64())]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {"role": batch.column("role"), "n_tokens": token_counts(batch.column("text")).cast(pa.int64())}
         )
-        df = (
-            t.to_pandas()
-            .groupby("role", sort=False)
-            .agg(sum_tokens=("n_tokens", "sum"), n_turns=("n_tokens", "size"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = t.group_by("role").aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+        return g.rename_columns(partial_schema.names).cast(partial_schema)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
