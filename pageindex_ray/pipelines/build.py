@@ -347,17 +347,20 @@ def build_index(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    off_tmp = os.path.join(index_dir, ".conv_offsets.tmp")
-    pq.write_table(
-        pa.table(
-            {
-                "conv_id": pa.array(offsets["conv_ids"], type=pa.string()),
-                "base": pa.array(offsets["bases"], type=pa.int64()),
-            }
-        ),
-        off_tmp,
+    off_tbl = pa.table(
+        {
+            "conv_id": pa.array(offsets["conv_ids"], type=pa.string()),
+            "base": pa.array(offsets["bases"], type=pa.int64()),
+        }
     )
+    off_tmp = os.path.join(index_dir, ".conv_offsets.tmp")
+    pq.write_table(off_tbl, off_tmp)
     os.replace(off_tmp, os.path.join(index_dir, "conv_offsets.parquet"))
+    # mmap-able IPC twin: the engine binary-searches this file zero-copy
+    # instead of heap-loading #convs Python objects (state/convtable.py)
+    from ..state.convtable import write_arrow_sidecar
+
+    write_arrow_sidecar(off_tbl, index_dir)
 
     # --- docmap + corpus stats --------------------------------------------
     # In direct-reduce mode the docmap rides the posting emission pass as

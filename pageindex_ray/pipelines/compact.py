@@ -163,6 +163,9 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         os.path.join(index_dir, "conv_offsets.parquet"),
         os.path.join(out_dir, "conv_offsets.parquet"),
     )
+    from ..state.convtable import ensure_arrow_sidecar
+
+    ensure_arrow_sidecar(out_dir)
 
     out_meta = {
         "n_docs": meta["n_docs"],  # doc-id-space EXTENT (sparse after compaction)

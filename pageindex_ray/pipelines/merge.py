@@ -276,6 +276,9 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
     off_tmp = os.path.join(out_dir, ".conv_offsets.tmp")
     pq.write_table(merged_offsets, off_tmp)
     os.replace(off_tmp, os.path.join(out_dir, "conv_offsets.parquet"))
+    from ..state.convtable import write_arrow_sidecar
+
+    write_arrow_sidecar(merged_offsets, out_dir)
 
     # docmap rows already carry absolute doc ids — collect the wave files
     dm_out = os.path.join(out_dir, "docmap")

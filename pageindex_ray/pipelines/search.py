@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..stages.postings import salted_partitions, term_partition
+from ..state.convtable import ConvTable
 from ..state.scorers import make_scorer_pool
 from ..state.shards import PostingShard
 from .attrs import AttrStore, attrs_dir_of, membership_mask, normalize_boost, normalize_where
@@ -145,10 +146,12 @@ class SearchEngine:
         # must reflect steady state, not lazy actor init racing cluster
         # cleanup from a just-finished build.
         ray.get([s.num_terms.remote() for s in self.shards])
-        # doc_id -> (conv_id, turn_idx) inverse map from conv offsets.
-        off = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
-        self.conv_ids = np.asarray(off.column("conv_id").to_pylist(), dtype=object)
-        self.conv_bases = off.column("base").to_numpy().astype(np.int64)
+        # doc_id -> (conv_id, turn_idx) inverse map: an mmap-backed view of
+        # conv_offsets (state/convtable.py) — bases are a zero-copy int64
+        # numpy view, conv ids stay Arrow; the driver heap holds O(1) in
+        # #convs instead of round 3's O(#convs) object ndarray
+        self.convs = ConvTable(index_dir)
+        self.conv_bases = self.convs.bases
         # decoded-term cache: term -> (doc_ids, contribs) | None (absent).
         # Zipfian query streams hit the same hot terms constantly; bounded by
         # element count.
@@ -229,7 +232,7 @@ class SearchEngine:
         )
         self.scorers = (
             make_scorer_pool(
-                self.shards, self.conv_bases, self.conv_ids, self.n_docs, num_scorers,
+                self.shards, index_dir, self.conv_bases, self.n_docs, num_scorers,
                 k1=self.k1, b=self.b, avgdl=self.avgdl, attrs_dir=self._attrs_dir,
                 tombstones=self.tombstones,
                 docvalues_dir=(
@@ -644,13 +647,13 @@ class SearchEngine:
             seg_scores = red(scores, starts)
             u_conv = (uniq >> 32).astype(np.int64)
             u_seg = (uniq & ((1 << 32) - 1)).astype(np.int64)
-            names = self.conv_ids[u_conv]
+            names = self.convs.names_at(u_conv)
             order = np.lexsort((u_seg, names, -seg_scores))[:k]
             return names[order], u_seg[order], seg_scores[order]
         # docs ascending => per-conv accumulation in doc order (== oracle)
         uniq, starts = np.unique(conv_idx, return_index=True)
         conv_scores = red(scores, starts)
-        names = self.conv_ids[uniq]
+        names = self.convs.names_at(uniq)
         order = np.lexsort((names, -conv_scores))[:k]
         return names[order], conv_scores[order]
 
@@ -2098,8 +2101,7 @@ class SearchEngine:
         ]
 
     def doc_location(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        idx = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1
-        return self.conv_ids[idx], (doc_ids - self.conv_bases[idx]).astype(np.int32)
+        return self.convs.locate(np.asarray(doc_ids, dtype=np.int64))
 
     def shutdown(self):
         for a in (*self.shards, *self.scorers):

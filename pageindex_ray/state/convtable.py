@@ -1,0 +1,112 @@
+"""Memory-mapped conversation-offset table.
+
+``conv_offsets.parquet`` maps doc ids back to (conv_id, turn_idx): row i is
+conversation i in sorted order, ``base`` its first doc id. Round 3 loaded it
+on the DRIVER as a Python-object ndarray (``to_pylist()`` — ~10x byte
+overhead per conv and O(#convs) heap), and shipped per-range object-array
+slices to every RangeScorer. At the 10^12-turn ambition (~10^10 convs) that
+is a driver scale-killer (VERDICT.md r3, "What's wrong" #1).
+
+This module keeps the table OUT of the Python heap:
+
+- ``ensure_arrow_sidecar`` converts the parquet once (atomic rename,
+  idempotent) to an UNCOMPRESSED single-batch Arrow IPC file — the only
+  format the OS can page in lazily. Parquet cannot be mmapped usefully
+  (pages are encoded/compressed); IPC buffers are the wire layout.
+- ``ConvTable`` memory-maps the IPC file: ``bases`` is a zero-copy int64
+  numpy VIEW of the mapped buffer (binary-searchable at C speed without a
+  heap copy) and conv ids stay an Arrow StringArray backed by the map.
+  Python objects are materialized only for rows a query actually touches
+  (``names_at`` / ``locate`` — O(result), never O(#convs)).
+- RangeScorers receive the file path + their row range and slice the map
+  themselves (zero-copy ``Table.slice``) instead of deserializing
+  driver-shipped object arrays; the file lives in the index dir, which is
+  already the shared-storage contract every shard actor relies on.
+
+Reference analogue: the physical_index->page lookup the reference keeps as
+an in-memory tree (/root/reference/pageindex/utils.py:354-400), re-expressed
+as a file-backed binary-searchable table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.ipc
+import pyarrow.parquet as pq
+
+ARROW_NAME = "conv_offsets.arrow"
+PARQUET_NAME = "conv_offsets.parquet"
+
+
+def write_arrow_sidecar(table: pa.Table, index_dir: str) -> str:
+    """Write the offsets table as a single-batch uncompressed IPC file
+    (atomic tmp+rename; safe under concurrent writers — last one wins with
+    identical content)."""
+    path = os.path.join(index_dir, ARROW_NAME)
+    tmp = path + f".tmp.{os.getpid()}"
+    combined = table.combine_chunks()
+    with pa.OSFile(tmp, "wb") as f:
+        with pa.ipc.new_file(f, combined.schema) as w:
+            w.write_table(combined)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_arrow_sidecar(index_dir: str) -> str:
+    """Idempotently derive conv_offsets.arrow from conv_offsets.parquet
+    (covers indexes built/merged before the sidecar existed)."""
+    path = os.path.join(index_dir, ARROW_NAME)
+    if os.path.exists(path):
+        return path
+    return write_arrow_sidecar(
+        pq.read_table(os.path.join(index_dir, PARQUET_NAME)), index_dir
+    )
+
+
+class ConvTable:
+    """Zero-copy view over the mmapped offsets table.
+
+    ``bases``: int64 numpy view (no heap copy) of the conv base doc ids —
+    ascending, binary-searchable. ``ids``: Arrow StringArray backed by the
+    map. ``row_range`` selects a slice (RangeScorer use); the default is the
+    whole table (driver use).
+    """
+
+    def __init__(self, index_dir: str, row_range: tuple[int, int] | None = None):
+        path = ensure_arrow_sidecar(index_dir)
+        self._mm = pa.memory_map(path)
+        t = pa.ipc.open_file(self._mm).read_all()
+        if row_range is not None:
+            t = t.slice(row_range[0], row_range[1] - row_range[0])
+        ids = t.column("conv_id")
+        bases = t.column("base")
+        # single batch by construction; chunk(0) keeps the mmap backing
+        self.ids: pa.StringArray = ids.chunk(0) if ids.num_chunks else pa.array([], pa.string())
+        self.bases: np.ndarray = (
+            bases.chunk(0).to_numpy(zero_copy_only=True)
+            if bases.num_chunks
+            else np.empty(0, dtype=np.int64)
+        )
+
+    def __len__(self) -> int:
+        return len(self.bases)
+
+    def names_at(self, idx: np.ndarray) -> np.ndarray:
+        """conv_id strings for the given row indices — materializes Python
+        objects ONLY for the touched rows (O(len(idx)), not O(#convs))."""
+        if not len(idx):
+            return np.empty(0, dtype=object)
+        taken = self.ids.take(pa.array(np.asarray(idx, dtype=np.int64)))
+        return np.asarray(taken.to_pylist(), dtype=object)
+
+    def row_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Row index (conversation ordinal) owning each doc id."""
+        return np.searchsorted(self.bases, doc_ids, side="right") - 1
+
+    def locate(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """doc ids -> (conv_id object array, turn_idx int32)."""
+        idx = self.row_of(doc_ids)
+        return self.names_at(idx), (doc_ids - self.bases[idx]).astype(np.int32)

@@ -36,8 +36,11 @@ class RangeScorer:
     """Owns doc range [lo, hi) plus the conversation table slice covering it.
 
     ``shards``: the PostingShard handles (same pool the driver routes to);
-    ``bases``/``names``: conv base offsets and conv_ids for the range —
-    conv_bases[0] == lo and every conv in the slice ends before hi."""
+    ``index_dir``/``row_lo``/``row_hi``: where to mmap its conv-table slice
+    from (rows [row_lo, row_hi) of conv_offsets.arrow — state/convtable.py;
+    the slice's first base == lo and every conv in it ends before hi). The
+    actor loads the slice itself instead of deserializing a driver-shipped
+    object array (round 3's O(#convs/R) per-actor ship, VERDICT.md r3)."""
 
     # ranges wider than this use sort-based accumulation instead of a dense
     # range-length buffer (same guard as SearchEngine._BINCOUNT_MAX_N: a
@@ -46,11 +49,14 @@ class RangeScorer:
     # stable doc-order sort preserves the ascending-term add order per doc)
     _DENSE_MAX_RANGE = 64_000_000
 
-    def __init__(self, shards, lo: int, hi: int, bases: np.ndarray, names,
+    def __init__(self, shards, lo: int, hi: int, index_dir: str,
+                 row_lo: int, row_hi: int,
                  dense_max_range: int | None = None,
                  k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
                  attrs_dir: str | None = None, tombstones=None,
                  docvalues_dir: str | None = None):
+        from .convtable import ConvTable
+
         self.shards = list(shards)
         self._dv_dir = docvalues_dir
         self.lo = int(lo)
@@ -72,8 +78,10 @@ class RangeScorer:
         self._attrs_dir = attrs_dir
         self._attr_store = None
         self._attr_cache: dict[tuple, np.ndarray] = {}
-        self.bases = np.asarray(bases, dtype=np.int64)
-        self.names = np.asarray(names, dtype=object)
+        # mmap-backed slice of the conv table (zero-copy bases view; conv-id
+        # strings materialized per query only for touched groups)
+        self._convs = ConvTable(index_dir, row_range=(int(row_lo), int(row_hi)))
+        self.bases = self._convs.bases
         self.n = self.hi - self.lo
         self.k1, self.b, self.avgdl = float(k1), float(b), float(avgdl)
         self.dense = self.n <= (
@@ -648,7 +656,7 @@ class RangeScorer:
         if granularity == "conv":
             cuniq, starts = np.unique(conv_idx, return_index=True)
             cscores = red(vals, starts)
-            names = self.names[cuniq]
+            names = self._convs.names_at(cuniq)
             order = np.lexsort((names, -cscores))[:k]
             return names[order], cscores[order]
         turn = (uniq + self.lo) - self.bases[conv_idx]
@@ -658,12 +666,13 @@ class RangeScorer:
         sscores = red(vals, starts)
         u_conv = (kuniq >> 32).astype(np.int64)
         u_seg = (kuniq & ((1 << 32) - 1)).astype(np.int64)
-        names = self.names[u_conv]
+        names = self._convs.names_at(u_conv)
         order = np.lexsort((u_seg, names, -sscores))[:k]
         return names[order], u_seg[order], sscores[order]
 
 
-def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_scorers: int,
+def make_scorer_pool(shards, index_dir: str, conv_bases: np.ndarray, n_docs: int,
+                     num_scorers: int,
                      dense_max_range: int | None = None,
                      k1: float = 1.5, b: float = 0.75, avgdl: float = 1.0,
                      attrs_dir: str | None = None, tombstones=None,
@@ -671,9 +680,11 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
     """Create RangeScorer actors over conv-aligned doc ranges of ~equal size.
 
     Ranges split the conversation table (never a conversation), so every
-    rollup granularity stays range-local. k1/b/avgdl feed the per-range
-    WAND traversal (its lazy block decode recomputes factors locally).
-    Returns the actor list."""
+    rollup granularity stays range-local. Each actor is handed only its
+    (row_lo, row_hi) cut of conv_offsets.arrow and mmaps the slice itself —
+    the driver ships two ints per actor, not object arrays. k1/b/avgdl feed
+    the per-range WAND traversal (its lazy block decode recomputes factors
+    locally). Returns the actor list."""
     n_convs = len(conv_bases)
     num_scorers = max(1, min(num_scorers, n_convs))
     cut_idx = [(j * n_convs) // num_scorers for j in range(num_scorers + 1)]
@@ -690,7 +701,7 @@ def make_scorer_pool(shards, conv_bases: np.ndarray, conv_ids, n_docs: int, num_
         hi = int(conv_bases[cj]) if cj < n_convs else int(conv_bases[0]) + int(n_docs)
         scorers.append(
             RangeScorer.remote(
-                shards, lo, hi, conv_bases[ci:cj], np.asarray(conv_ids[ci:cj], dtype=object),
+                shards, lo, hi, index_dir, ci, cj,
                 dense_max_range, k1, b, avgdl, attrs_dir, tombstones,
                 docvalues_dir,
             )

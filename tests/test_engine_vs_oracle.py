@@ -237,9 +237,10 @@ def test_range_scorer_sort_path_matches_dense(ray_session, built_index):
     from pageindex_ray.state.scorers import make_scorer_pool
 
     e = SearchEngine(built_index["index_dir"], num_shards=2)
-    dense_pool = make_scorer_pool(e.shards, e.conv_bases, e.conv_ids, e.n_docs, 3)
+    idx_dir = built_index["index_dir"]
+    dense_pool = make_scorer_pool(e.shards, idx_dir, e.conv_bases, e.n_docs, 3)
     sort_pool = make_scorer_pool(
-        e.shards, e.conv_bases, e.conv_ids, e.n_docs, 3, dense_max_range=0
+        e.shards, idx_dir, e.conv_bases, e.n_docs, 3, dense_max_range=0
     )
     try:
         for _, qtext in _queries(built_index):
