@@ -609,6 +609,91 @@ def _q_bm25_compacted(sf_dir: str):
         eng.shutdown()
 
 
+def _q_index_refresh(sf_dir: str):
+    """Incremental-refresh equivalence (pipelines/merge.py + tombstones +
+    compact in one flow): build wave A (the first half of the conversations),
+    APPEND wave B via append_wave (wave build at doc_base + partition merge —
+    the already-indexed corpus is never re-tokenized), tombstone every
+    doc_id % 7 == 0, COMPACT (deleted docs expunged, stats recomputed over
+    survivors), then run the query set on the refreshed index. The SQL twin
+    computes the SAME result monolithically over the surviving corpus
+    (identical to bm25_compacted_topk's twin), so a green row proves
+    add-then-delete-then-compact == full rebuild — the engine's answer to
+    the reference's run-again-on-a-new-PDF workflow."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index, load_meta
+    from pageindex_ray.pipelines.compact import compact_index
+    from pageindex_ray.pipelines.merge import append_wave
+    from pageindex_ray.pipelines.search import SearchEngine
+    from pageindex_ray.pipelines.tombstones import add_tombstones
+
+    tpath, _ = ensure_corpus(sf_dir)
+    root = os.path.join(
+        "/tmp/pageindex_ray_refresh", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    t = pq.read_table(tpath, columns=["conv_id", "turn_idx", "text"])
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    cut = convs[len(convs) // 2]  # wave B convs sort strictly after wave A's
+    mask = pc.less(t.column("conv_id"), cut)
+    wave_a = os.path.join(root, "waveA.parquet")
+    wave_b = os.path.join(root, "waveB.parquet")
+    pq.write_table(t.filter(mask), wave_a)
+    pq.write_table(t.filter(pc.invert(mask)), wave_b)
+    idx_a = os.path.join(root, "idxA")
+    build_index(wave_a, idx_a, BuildConfig(num_partitions=16))
+    idx_ab = os.path.join(root, "idxAB")
+    append_wave(idx_a, wave_b, idx_ab)
+    add_tombstones(idx_ab, np.arange(0, load_meta(idx_ab)["n_docs"], 7))
+    idx_r = os.path.join(root, "idxR")
+    compact_index(idx_ab, idx_r)
+    eng = SearchEngine(idx_r, num_shards=8)
+    try:
+        out = eng.search_batch(_load_queries(sf_dir), k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def _q_bm25_tree_topk(sf_dir: str):
+    """Two-level nested hierarchy rollup (state/rollup.py — the configurable
+    generalization of the turn/segment/conv ladder; the reference's tree
+    drill-down, /root/reference/pageindex/utils.py:354-400): top-10
+    conversations by summed BM25, each with its best 16-turn segment, the
+    best 4-turn segment nested inside it, and the best turn inside that."""
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = _ensure_index(sf_dir)
+    eng = SearchEngine(idx, num_shards=8)
+    try:
+        out = eng.search_tree_batch(_load_queries(sf_dir), k=10, spans=(16, 4))
+        return out.select(
+            ["query_id", "rank", "conv_id", "l1_start", "l2_start", "turn_idx"]
+        )
+    finally:
+        eng.shutdown()
+
+
+def _q_conv_summaries_model(sf_dir: str):
+    """The enrichment model slot carrying a REAL loaded artifact: the
+    committed BPE merge table (functions/bpe.py BpeRaritySummaryModel),
+    constructed once per actor via ``model_factory``; each conversation's
+    summary is its first turn's 3 rarest-vocabulary pieces. The SQL twin
+    ranks the same pieces through the bpe_pieces_conv sidecar."""
+    from pageindex_ray.functions.bpe import BpeRaritySummaryModel
+    from pageindex_ray.pipelines.conversations import conv_summaries
+
+    ensure_sidecars(sf_dir)  # the (piece -> n_tokens) map the SQL twin joins
+    return conv_summaries(sf_dir, model_factory=BpeRaritySummaryModel)
+
+
 def _q_role_stats(sf_dir: str):
     from pageindex_ray.pipelines.textstats import transcripts_role_stats
 
@@ -1071,73 +1156,94 @@ def _q_more_like_this(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Dict ORDER is deliberate (the driver gate records the first 50
+    entries): every entry that has never had a driver CORRECTNESS row — the
+    round-4 additions (bm25_tree_topk, index_refresh, conv_summaries_model),
+    the positional/query-language family (r3's top residual gap), and the
+    entries last gated in round 2 — sits in the first 50; entries green in
+    the round-3 artifact rotate to the tail (their hard signal is already
+    recorded). Every entry, both halves, is also value-checked against its
+    DuckDB twin by tests/test_driver_contract.py each session."""
     return {
+        # --- core build + retrieval (r3-green core, kept as anchors) -------
         "docmap": _q_docmap,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
-        "bm25_wand_topk": _q_bm25_wand_topk,
         "lm_topk": _q_lm_topk,
         "rrf_topk": _q_rrf_topk,
-        "bm25_page2": _q_bm25_page2,
-        "bm25_boosted_topk": _q_bm25_boosted_topk,
-        "search_export": _q_search_export,
-        "collocations": _q_collocations,
-        "sorted_search": _q_sorted_search,
-        "date_histogram": _q_date_histogram,
-        "field_stats": _q_field_stats,
         "bm25_conv_topk": _q_bm25_conv_topk,
-        "bm25_conv_max_topk": _q_bm25_conv_max_topk,
+        "bm25_segment_topk": _q_bm25_segment_topk,
+        "bm25_tree_topk": _q_bm25_tree_topk,
         "bool_search": _q_bool_search,
         "bm25_filtered_topk": _q_bm25_filtered_topk,
         "facet_counts": _q_facet_counts,
-        "prefix_search": _q_prefix_search,
-        "regex_search": _q_regex_search,
-        "fuzzy_search": _q_fuzzy_search,
-        "snippets": _q_snippets,
-        "suggest": _q_suggest,
-        "bm25_tombstoned_topk": _q_bm25_tombstoned,
-        "bm25_compacted_topk": _q_bm25_compacted,
-        "role_stats": _q_role_stats,
-        "doc_tokens": _q_doc_tokens,
-        "doc_tokens_bpe": _q_doc_tokens_bpe,
-        "doc_tokens_bpe2": _q_doc_tokens_bpe2,
-        "doc_quality": _q_doc_quality,
-        "doc_langid": _q_doc_langid,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_minhash_cc": _q_dedup_minhash_cc,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "multimodal_meta": _q_multimodal,
-        "multimodal_frames": _q_multimodal_frames,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_wav": _q_multimodal_wav,
-        "multimodal_ppm": _q_multimodal_ppm,
-        "q1_pricing": _q_q1,
-        "top_revenue_orders": _q_top_orders,
-        "customer_rollup": _q_customer_rollup,
-        "events_sessions": _q_events_sessions,
-        "events_by_type": _q_events_by_type,
-        "conv_text_fingerprint": _q_conv_fingerprint,
-        "conv_summaries": _q_conv_summaries,
-        "conv_salient_summary": _q_conv_salient_summary,
-        "corpus_curation": _q_corpus_curation,
-        "event_type_mode": _q_event_mode,
-        "events_tumbling": _q_events_tumbling,
-        "parts_by_brand": _q_parts_by_brand,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "bm25_segment_topk": _q_bm25_segment_topk,
+        # --- positional / query-language family (never driver-gated) -------
         "phrase_search": _q_phrase_search,
         "phrase_search_pos": _q_phrase_search_pos,
         "proximity_search": _q_proximity_search,
         "span_near": _q_span_near,
         "query_string": _q_query_string,
         "more_like_this": _q_more_like_this,
+        # --- result rendering / analytics ----------------------------------
+        "snippets": _q_snippets,
+        "search_export": _q_search_export,
+        "collocations": _q_collocations,
+        "date_histogram": _q_date_histogram,
+        "field_stats": _q_field_stats,
+        # --- lifecycle ------------------------------------------------------
+        "index_refresh": _q_index_refresh,
+        # --- text analysis ---------------------------------------------------
+        "role_stats": _q_role_stats,
+        "doc_tokens": _q_doc_tokens,
+        "doc_tokens_bpe2": _q_doc_tokens_bpe2,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        # --- dedup / ANN -----------------------------------------------------
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        # --- multimodal ------------------------------------------------------
+        "multimodal_meta": _q_multimodal,
+        "multimodal_wav": _q_multimodal_wav,
+        # --- relational / streaming-shaped ----------------------------------
+        "q1_pricing": _q_q1,
+        "customer_rollup": _q_customer_rollup,
+        "events_sessions": _q_events_sessions,
+        "events_tumbling": _q_events_tumbling,
+        "event_type_mode": _q_event_mode,
+        "parts_by_brand": _q_parts_by_brand,
+        # --- conversation rollups / curation --------------------------------
+        "conv_text_fingerprint": _q_conv_fingerprint,
+        "conv_summaries": _q_conv_summaries,
+        "conv_summaries_model": _q_conv_summaries_model,
+        "conv_salient_summary": _q_conv_salient_summary,
+        "corpus_curation": _q_corpus_curation,
+        # ==== entries below were green in the round-3 driver artifact =======
+        "bm25_wand_topk": _q_bm25_wand_topk,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_boosted_topk": _q_bm25_boosted_topk,
+        "bm25_conv_max_topk": _q_bm25_conv_max_topk,
+        "sorted_search": _q_sorted_search,
+        "suggest": _q_suggest,
+        "prefix_search": _q_prefix_search,
+        "regex_search": _q_regex_search,
+        "fuzzy_search": _q_fuzzy_search,
+        "doc_tokens_bpe": _q_doc_tokens_bpe,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_ppm": _q_multimodal_ppm,
+        "bm25_tombstoned_topk": _q_bm25_tombstoned,
+        "bm25_compacted_topk": _q_bm25_compacted,
+        "events_by_type": _q_events_by_type,
+        "top_revenue_orders": _q_top_orders,
+        "dedup_minhash_cc": _q_dedup_minhash_cc,
     }
 
 
@@ -1244,6 +1350,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_minhash_cc"] = sqls["dedup_minhash"]
     # WAND pruning must be result-invisible: same golden SQL as exhaustive
     sqls["bm25_wand_topk"] = sqls["bm25_topk"]
+    # the refreshed index (wave A + appended wave B + tombstone + compact)
+    # must answer exactly like a monolithic rebuild of the surviving corpus
+    # — the same twin the compacted entry checks against
+    sqls["index_refresh"] = sqls["bm25_compacted_topk"]
     return sqls
 
 
@@ -1829,6 +1939,48 @@ SELECT w1, w2, n, pmi FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 50
                    CAST(seg_start AS BIGINT) AS seg_start
             FROM seg
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sscore DESC, conv_id ASC, seg_start ASC) <= 10
+        """,
+        "bm25_tree_topk": _BM25_CORE + """
+            , conv AS (
+              SELECT query_id, conv_id, sum(score) AS cscore
+              FROM (SELECT * FROM scored ORDER BY doc_id)
+              GROUP BY query_id, conv_id
+            ), win AS (
+              SELECT query_id, conv_id,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, conv_id ASC) - 1 AS INTEGER) AS rank
+              FROM conv
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, conv_id ASC) <= 10
+            ), l1 AS (
+              SELECT s.query_id, s.conv_id, (s.turn_idx // 16) * 16 AS l1_start, sum(s.score) AS s1
+              FROM (SELECT * FROM scored ORDER BY doc_id) s
+              JOIN win w ON s.query_id = w.query_id AND s.conv_id = w.conv_id
+              GROUP BY s.query_id, s.conv_id, (s.turn_idx // 16) * 16
+            ), l1w AS (
+              SELECT query_id, conv_id, l1_start FROM l1
+              QUALIFY row_number() OVER (PARTITION BY query_id, conv_id ORDER BY s1 DESC, l1_start ASC) = 1
+            ), l2 AS (
+              SELECT s.query_id, s.conv_id, (s.turn_idx // 4) * 4 AS l2_start, sum(s.score) AS s2
+              FROM (SELECT * FROM scored ORDER BY doc_id) s
+              JOIN l1w ON s.query_id = l1w.query_id AND s.conv_id = l1w.conv_id
+                     AND s.turn_idx >= l1w.l1_start AND s.turn_idx < l1w.l1_start + 16
+              GROUP BY s.query_id, s.conv_id, (s.turn_idx // 4) * 4
+            ), l2w AS (
+              SELECT query_id, conv_id, l2_start FROM l2
+              QUALIFY row_number() OVER (PARTITION BY query_id, conv_id ORDER BY s2 DESC, l2_start ASC) = 1
+            ), tw AS (
+              SELECT s.query_id, s.conv_id, s.turn_idx FROM scored s
+              JOIN l2w ON s.query_id = l2w.query_id AND s.conv_id = l2w.conv_id
+                     AND s.turn_idx >= l2w.l2_start AND s.turn_idx < l2w.l2_start + 4
+              QUALIFY row_number() OVER (PARTITION BY s.query_id, s.conv_id ORDER BY s.score DESC, s.turn_idx ASC) = 1
+            )
+            SELECT w.query_id, w.rank, w.conv_id,
+                   CAST(l1w.l1_start AS BIGINT) AS l1_start,
+                   CAST(l2w.l2_start AS BIGINT) AS l2_start,
+                   CAST(tw.turn_idx AS BIGINT) AS turn_idx
+            FROM win w
+            JOIN l1w ON w.query_id = l1w.query_id AND w.conv_id = l1w.conv_id
+            JOIN l2w ON w.query_id = l2w.query_id AND w.conv_id = l2w.conv_id
+            JOIN tw  ON w.query_id = tw.query_id  AND w.conv_id = tw.conv_id
         """,
         "bool_search": f"""
 WITH base AS (
@@ -2449,6 +2601,34 @@ FROM m GROUP BY query_id, role
                    coalesce(array_to_string(list_slice({_TOKS}, 1, 10), ' '), '') AS summary
             FROM firsts WHERE rn = 1
         """,
+        "conv_summaries_model": (
+            f"""
+            WITH firsts AS (
+              SELECT conv_id, text,
+                     row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM read_parquet('{_TPATH}')
+            ), f AS (
+              SELECT conv_id, text FROM firsts WHERE rn = 1
+            ), pieces AS (
+              SELECT conv_id,
+                     unnest(list_distinct(regexp_extract_all(text, '"""
+            + r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+            + """'))) AS piece
+              FROM f
+            ), ranked AS (
+              SELECT p.conv_id, p.piece, m.n_tokens
+              FROM pieces p JOIN read_parquet('"""
+            + _SIDE["bpe_pieces_conv"]
+            + """') m ON m.piece = p.piece
+              QUALIFY row_number() OVER (PARTITION BY p.conv_id ORDER BY m.n_tokens DESC, p.piece ASC) <= 3
+            ), agg AS (
+              SELECT conv_id, string_agg(piece, ' ' ORDER BY n_tokens DESC, piece ASC) AS summary
+              FROM ranked GROUP BY conv_id
+            )
+            SELECT f.conv_id, coalesce(a.summary, '') AS summary
+            FROM f LEFT JOIN agg a ON a.conv_id = f.conv_id
+        """
+        ),
         "conv_salient_summary": f"""
             WITH base AS (
               SELECT conv_id, turn_idx, text, {_TOKS} AS toks

@@ -163,6 +163,34 @@ class BPE:
         return counts
 
 
+class BpeRaritySummaryModel:
+    """A REAL loaded artifact riding the enrichment model slot
+    (pipelines/conversations.py ExtractiveSummarizer ``model_factory``):
+    construction loads the committed merge table from disk; inference picks,
+    per text, the 3 distinct pre-tokenizer pieces that the vocabulary
+    compresses WORST (highest BPE token count — the rarest, least-merged
+    vocabulary; ties break piece-ascending) and joins them in that rank
+    order. The output depends on the artifact: retrain the merge table and
+    the summaries change. The reference's analogue is the model-backed
+    ``generate_node_summary`` (/root/reference/pageindex/utils.py:580-598);
+    here the "what is this about" signal is compression rarity instead of an
+    LLM. SQL twin: the bpe_pieces sidecar join (oracle/sidecars.py) ranks
+    the same pieces with the same tie-break."""
+
+    def __init__(self, top_n: int = 3):
+        self.bpe = BPE()  # loads bpe_merges.txt ONCE per actor
+        self.top_n = top_n
+
+    def __call__(self, texts) -> list[str]:
+        out = []
+        n_tokens = self.bpe.n_tokens
+        for t in texts:
+            distinct = sorted(set(PIECE_RE.findall(t or "")))
+            ranked = sorted(distinct, key=lambda p: (-n_tokens(p), p))[: self.top_n]
+            out.append(" ".join(ranked))
+        return out
+
+
 def main():  # pragma: no cover - artifact regeneration entry point
     """Regenerate the committed merge table from the sf0.001 documents."""
     import pyarrow.parquet as pq

@@ -77,6 +77,7 @@ def ensure_sidecars(sf_dir: str) -> dict[str, str]:
         "ivf_assign": os.path.join(out_dir, "ivf_assign.parquet"),
         "ivf_probes": os.path.join(out_dir, "ivf_probes.parquet"),
         "bpe_pieces": os.path.join(out_dir, "bpe_pieces.parquet"),
+        "bpe_pieces_conv": os.path.join(out_dir, "bpe_pieces_conv.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -185,6 +186,42 @@ def ensure_sidecars(sf_dir: str) -> dict[str, str]:
             }
         ),
         paths["bpe_pieces"],
+    )
+
+    # --- true-BPE map over the transcripts' FIRST-TURN texts ---------------
+    # one row per distinct piece of each conversation's first turn — the
+    # vocabulary the BpeRaritySummaryModel enrichment entry ranks; the SQL
+    # twin joins this map to reproduce the model's rarity ordering exactly
+    from ..sources.transcripts import ensure_corpus
+
+    tpath, _ = ensure_corpus(sf_dir)
+    tt = pq.read_table(tpath, columns=["conv_id", "turn_idx", "text"])
+    conv = np.asarray(tt.column("conv_id").to_pylist(), dtype=object)
+    turn = tt.column("turn_idx").to_numpy().astype(np.int64)
+    ttexts = tt.column("text").to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv, ttexts = conv[order], ttexts[order]
+    change = np.zeros(len(conv), dtype=bool)
+    if len(conv):
+        change[0] = True
+        change[1:] = conv[1:] != conv[:-1]
+    first_texts = ttexts[np.flatnonzero(change)]
+    conv_pieces = sorted({p for t in first_texts for p in PIECE_RE.findall(t or "")})
+    _write_atomic(
+        pa.table(
+            {
+                "piece": pa.array(conv_pieces, type=pa.string()),
+                "n_tokens": pa.array(
+                    np.fromiter(
+                        (bpe.n_tokens(p) for p in conv_pieces),
+                        dtype=np.int64,
+                        count=len(conv_pieces),
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        paths["bpe_pieces_conv"],
     )
 
     qmask = vec_ids < IVF_N_QUERIES

@@ -42,6 +42,7 @@ import ray
 
 from ..stages.postings import salted_partitions, term_partition
 from ..state.convtable import ConvTable
+from ..state.rollup import empty_tree, merge_tree_partials, tree_rollup, validate_spans
 from ..state.scorers import make_scorer_pool
 from ..state.shards import PostingShard
 from .attrs import AttrStore, attrs_dir_of, membership_mask, normalize_boost, normalize_where
@@ -910,6 +911,97 @@ class SearchEngine:
             cols["turn_idx"] = pa.array(parts["turn_idx"], type=pa.int32())
         elif granularity == "segment":
             cols["seg_start"] = pa.array(parts["seg_start"], type=pa.int64())
+        return pa.table(cols)
+
+    # ------------------------------------------------ multi-level tree rollup
+
+    def _tree_topk(self, terms: list[str], k: int, spans, agg: str) -> dict | None:
+        """Driver-path tree rollup (state/rollup.py): exhaustive per-turn
+        scores -> nested best-segment drill-down for the top-k convs."""
+        arrays = self._term_arrays(terms)
+        if not arrays:
+            return None
+        docs, scores = self._exhaustive(arrays)
+        docs, scores = self._drop_deleted(docs, scores)
+        if not len(docs):
+            return None
+        return tree_rollup(
+            docs, scores, self.conv_bases, self.convs.names_at, spans, k, agg
+        )
+
+    def search_tree(
+        self, query_text: str, k: int = 10, spans=(16, 4), agg: str = "sum"
+    ) -> list[dict]:
+        """Multi-level hierarchy retrieval — the configurable generalization
+        of the fixed turn/segment/conv ladder (the reference's nested tree,
+        /root/reference/pageindex/utils.py:354-400): top-k conversations by
+        rolled-up score, each with the best ``spans[0]``-turn segment, the
+        best ``spans[1]``-turn segment nested inside it, ..., and the best
+        turn inside the innermost segment. Each span must strictly divide
+        its parent so child segments nest. ``agg``: "sum" (default) or
+        "max" at every level. Returns one dict per conversation."""
+        t = self.search_tree_batch([(0, query_text)], k=k, spans=spans, agg=agg)
+        return [
+            {kk: vv for kk, vv in row.items() if kk != "query_id"}
+            for row in t.to_pylist()
+        ]
+
+    def search_tree_batch(
+        self, queries: list[tuple[int, str]], k: int = 10, spans=(16, 4),
+        agg: str = "sum",
+    ) -> pa.Table:
+        """Batch form of ``search_tree``. Output schema: query_id, rank,
+        conv_id, conv_score, then l{i}_start / l{i}_score per level, then
+        turn_idx / turn_score. Distributed path: one scorer-pool fan-out for
+        the whole batch; ranges are conv-aligned, so per-range partials are
+        complete conv rows and the merge is a plain top-k."""
+        spans = validate_spans(spans)
+        _check_agg(agg, "conv")
+        per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
+        if self.scorers:
+            self._fetch_dfs(sorted({t for _, ts in per_query for t in ts}))
+            items = [(qid, self._term_idfs(ts)) for qid, ts in per_query]
+            live = [(qid, tidfs) for qid, tidfs in items if tidfs]
+            results: list[dict | None] = [None] * len(items)
+            if live:
+                futures = [s.tree_many.remote(live, k, spans, agg) for s in self.scorers]
+                per_scorer = ray.get(futures)
+                merged = {
+                    qid: merge_tree_partials([ps[i] for ps in per_scorer], k)
+                    for i, (qid, _) in enumerate(live)
+                }
+                results = [merged.get(qid) for qid, _ in items]
+        else:
+            all_terms = sorted({t for _, ts in per_query for t in ts})
+            self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
+            results = [self._tree_topk(ts, k, spans, agg) for _, ts in per_query]
+        qids: list[int] = []
+        ranks: list[int] = []
+        parts: dict[str, list] = defaultdict(list)
+        value_keys = None
+        for (qid, _), res in zip(per_query, results):
+            if res is None:
+                continue
+            if value_keys is None:
+                value_keys = list(res)
+            n = len(res["conv_id"])
+            qids.extend([qid] * n)
+            ranks.extend(range(n))
+            for key in res:
+                parts[key].extend(res[key].tolist())
+        if value_keys is None:
+            value_keys = list(empty_tree(len(spans)))
+        cols = {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int32()),
+        }
+        for key in value_keys:
+            if key == "conv_id":
+                cols[key] = pa.array([str(x) for x in parts[key]], type=pa.string())
+            elif key.endswith("_score"):
+                cols[key] = pa.array(parts[key], type=pa.float64())
+            else:
+                cols[key] = pa.array(parts[key], type=pa.int64())
         return pa.table(cols)
 
     # ------------------------------------- language-model similarity + fusion

@@ -670,6 +670,42 @@ class RangeScorer:
         order = np.lexsort((u_seg, names, -sscores))[:k]
         return names[order], u_seg[order], sscores[order]
 
+    def tree_many(self, queries: list[tuple[int, list[tuple[str, float]]]],
+                  k: int, spans, agg: str = "sum") -> list:
+        """Batch multi-level tree rollup for this range (state/rollup.py):
+        one result dict (or None) per query — complete conv rows, because
+        ranges are conv-aligned; the driver merge is a plain top-k. Always
+        exhaustive (every level's group sum needs every matching turn)."""
+        from .rollup import tree_rollup
+
+        union: dict[str, float] = {}
+        for _, tds in queries:
+            union.update(tds)
+        self._ensure_terms(sorted(union.items()))
+        out = []
+        for _, tds in queries:
+            terms = sorted(t for t, _ in tds)
+            arrays = self._ensure_terms(tds)
+            acc = self._accumulate(terms, arrays)
+            if acc is None:
+                out.append(None)
+                continue
+            uniq, vals = acc
+            if len(self._tomb_local):
+                from ..pipelines.attrs import membership_mask
+
+                alive = ~membership_mask(self._tomb_local, uniq)
+                uniq, vals = uniq[alive], vals[alive]
+            if not len(uniq):
+                out.append(None)
+                continue
+            out.append(
+                tree_rollup(
+                    uniq + self.lo, vals, self.bases, self._convs.names_at, spans, k, agg
+                )
+            )
+        return out
+
 
 def make_scorer_pool(shards, index_dir: str, conv_bases: np.ndarray, n_docs: int,
                      num_scorers: int,
