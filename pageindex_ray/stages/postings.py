@@ -287,14 +287,13 @@ def emit_postings_batch(
     # doc_len per row = surviving tokens per row
     lengths = np.bincount(parents, minlength=len(doc_id)).astype(np.int64)
 
-    # tf per (row, term): single int64 key, HASH-grouped (pandas value_counts,
-    # O(n), insertion-ordered => deterministic). The packed wire format needs
-    # no posting order — the reducer's global (term, doc) sort owns it — so
-    # the previous sort-based np.unique was pure overhead.
+    # tf per (row, term): single int64 key through np.unique(return_counts)
+    # — one C sort over the batch's tokens. (Round 3 used pandas
+    # value_counts assuming hash-O(n) wins; measured on the real key stream
+    # the sort path is ~4x faster: 8.6 ms vs 34.6 ms per 500k-token batch,
+    # and the sorted output is deterministic by construction.)
     key = parents.astype(np.int64) * nuniq + codes
-    vc = pd.Series(key).value_counts(sort=False)
-    uk = vc.index.to_numpy()
-    counts = vc.to_numpy()
+    uk, counts = np.unique(key, return_counts=True)
     u_local = uk // nuniq
     u_code = uk % nuniq
 
@@ -338,34 +337,56 @@ def emit_postings_batch(
     # pack one row per partition present in this batch (runs carry no order
     # guarantee — the reducer's global (term, doc) sort owns ordering; doc
     # offsets are from the run's MIN doc_id so they are always non-negative
-    # even when the input file is not conv-sorted).
-    order = np.argsort(parts, kind="stable")
-    p_sorted = parts[order]
-    run_bounds = np.flatnonzero(np.diff(p_sorted)) + 1
-    run_starts = np.concatenate([[0], run_bounds])
-    run_ends = np.concatenate([run_bounds, [len(p_sorted)]])
+    # even when the input file is not conv-sorted). Grouping, per-run vocab
+    # extraction and local-code assignment are ONE (part, code) lexsort plus
+    # boundary arithmetic — round 3 ran np.unique + searchsorted per run
+    # (533 partitions x 500 batches at sf4 = 266k Python-loop iterations on
+    # the build's hottest path).
+    order = np.lexsort((u_code, parts))  # part-major, code-minor
+    p_s = parts[order]
+    c_s = u_code[order]
+    docs_s = out_doc_ids[order]
+    tf_s = counts[order]
+    dl_s = dls_all[order]
+    n_all = len(p_s)
+    run_first = np.empty(n_all, dtype=bool)
+    run_first[0] = True
+    run_first[1:] = p_s[1:] != p_s[:-1]
+    run_starts = np.flatnonzero(run_first)
+    run_ends = np.append(run_starts[1:], n_all)
+    run_lens = run_ends - run_starts
+    # first occurrence of each (part, code) = one vocab slot per run-term
+    ncf = run_first.copy()
+    ncf[1:] |= c_s[1:] != c_s[:-1]
+    gslot = np.cumsum(ncf) - 1  # global vocab-slot index per entry
+    local_all = gslot - np.repeat(gslot[run_starts], run_lens)
+    vocab_codes = c_s[ncf]  # term code per vocab slot, run-major
+    vocab_run_starts = gslot[run_starts]
+    vocab_run_ends = np.append(vocab_run_starts[1:], len(vocab_codes))
+    # per-run fixed term width = max byte length of the run's terms
+    uniq_s = np.asarray(uniq_np, dtype=np.bytes_)  # one batch-global S array
+    vlen = np.char.str_len(uniq_s)[vocab_codes]
+    run_sw = np.maximum.reduceat(vlen, vocab_run_starts)
+    run_base = np.minimum.reduceat(docs_s, run_starts)
 
     cols: dict[str, list] = {k: [] for k in (
         "part", "base_doc", "n", "terms", "sw", "codes", "docs", "tfs", "dls",
         "cw", "dw", "tw", "lw",
     )}
-    for s, e in zip(run_starts, run_ends):
-        sl = order[s:e]
-        codes_sl = u_code[sl]
-        docs_sl = out_doc_ids[sl]
-        pcodes = np.unique(codes_sl)
-        local = np.searchsorted(pcodes, codes_sl)
-        base = int(docs_sl.min())
-        c_b, cw = _pack_ints(local)
-        d_b, dw = _pack_ints(docs_sl - base)
-        t_b, tw = _pack_ints(counts[sl])
-        l_b, lw = _pack_ints(dls_all[sl])
-        term_arr = np.asarray(uniq_np[pcodes], dtype=np.bytes_)  # S<maxlen>
-        cols["part"].append(int(p_sorted[s]))
-        cols["base_doc"].append(base)
-        cols["n"].append(len(sl))
-        cols["terms"].append(term_arr.tobytes())
-        cols["sw"].append(term_arr.dtype.itemsize)
+    cols["part"] = p_s[run_starts].tolist()
+    cols["base_doc"] = run_base.tolist()
+    cols["n"] = run_lens.tolist()
+    cols["sw"] = run_sw.tolist()
+    for i, (s, e) in enumerate(zip(run_starts, run_ends)):
+        c_b, cw = _pack_ints(local_all[s:e])
+        d_b, dw = _pack_ints(docs_s[s:e] - run_base[i])
+        t_b, tw = _pack_ints(tf_s[s:e])
+        l_b, lw = _pack_ints(dl_s[s:e])
+        cols["terms"].append(
+            uniq_s[vocab_codes[vocab_run_starts[i]:vocab_run_ends[i]]]
+            .astype(f"S{run_sw[i]}")
+            .tobytes()
+        )
         cols["codes"].append(c_b)
         cols["docs"].append(d_b)
         cols["tfs"].append(t_b)
