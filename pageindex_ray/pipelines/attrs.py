@@ -144,14 +144,12 @@ def build_attrs(
             return {**existing, "resumed": True}
         shutil.rmtree(out_dir)
 
-    import pyarrow.parquet as pq
+    # path-form broadcast: tasks ship a string and mmap the conv table
+    # locally (stages/postings._resolve_offsets) — the driver never builds
+    # an O(#convs) object array for sidecar construction
+    from ..state.convtable import ensure_arrow_sidecar
 
-    off = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
-    offsets = {
-        "conv_ids": np.asarray(off.column("conv_id").to_pylist(), dtype=object),
-        "bases": off.column("base").to_numpy().astype(np.int64),
-    }
-    offsets_ref = ray.put(offsets)
+    offsets_ref = {"offsets_path": ensure_arrow_sidecar(index_dir)}
 
     tmp_dir = os.path.join(index_dir, ".attrs.tmp")
     if os.path.isdir(tmp_dir):

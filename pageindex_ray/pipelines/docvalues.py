@@ -135,13 +135,9 @@ def build_docvalues(
             return {**existing, "resumed": True}
         shutil.rmtree(out_dir)
 
-    off = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
-    offsets_ref = ray.put(
-        {
-            "conv_ids": np.asarray(off.column("conv_id").to_pylist(), dtype=object),
-            "bases": off.column("base").to_numpy().astype(np.int64),
-        }
-    )
+    from ..state.convtable import ensure_arrow_sidecar
+
+    offsets_ref = {"offsets_path": ensure_arrow_sidecar(index_dir)}
 
     # record each column's SOURCE type so consumers know the unit
     first = source_path if isinstance(source_path, str) else source_path[0]

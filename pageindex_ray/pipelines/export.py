@@ -102,13 +102,9 @@ def search_to_dataset(
         for t, df in dfs.items()
     }
 
-    off = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
-    offsets_ref = ray.put(
-        (
-            np.asarray(off.column("conv_id").to_pylist(), dtype=object),
-            off.column("base").to_numpy().astype(np.int64),
-        )
-    )
+    from ..state.convtable import ensure_arrow_sidecar
+
+    offsets_path = ensure_arrow_sidecar(index_dir)  # workers mmap it locally
     tomb_ref = ray.put(load_tombstones(index_dir))
 
     def _score_batch(batch: pa.Table) -> pa.Table:
@@ -150,16 +146,17 @@ def search_to_dataset(
         if len(tomb):
             keep &= ~np.isin(docs, tomb)
         docs, scores = docs[keep], scores[keep]
-        conv_ids, conv_bases = ray.get(offsets_ref)
-        ci = np.searchsorted(conv_bases, docs, side="right") - 1
+        # per-worker mmapped conv table (cached by path) — no driver-shipped
+        # object arrays; names materialize only for this batch's rows
+        from ..state.convtable import cached_table
+
+        names, turns = cached_table(offsets_path).locate(docs)
         return pa.table(
             {
                 "doc_id": pa.array(docs),
                 "score": pa.array(scores),
-                "conv_id": pa.array(conv_ids[ci].tolist(), type=pa.string()),
-                "turn_idx": pa.array(
-                    (docs - conv_bases[ci]).astype(np.int32), type=pa.int32()
-                ),
+                "conv_id": pa.array(names, type=pa.string()),
+                "turn_idx": pa.array(turns, type=pa.int32()),
             }
         )
 

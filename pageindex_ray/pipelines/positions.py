@@ -180,12 +180,9 @@ def build_positions(index_dir: str, source_path: str, tokenizer=None) -> dict:
             return {**existing, "resumed": True}
         shutil.rmtree(out_dir)
 
-    off = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
-    offsets = {
-        "conv_ids": np.asarray(off.column("conv_id").to_pylist(), dtype=object),
-        "bases": off.column("base").to_numpy().astype(np.int64),
-    }
-    offsets_ref = ray.put(offsets)
+    from ..state.convtable import ensure_arrow_sidecar
+
+    offsets_ref = {"offsets_path": ensure_arrow_sidecar(index_dir)}
 
     tmp_dir = os.path.join(index_dir, ".positions.tmp")
     if os.path.isdir(tmp_dir):

@@ -89,15 +89,9 @@ def build_stored_fields(
             return {**existing, "resumed": True}
         shutil.rmtree(out_dir)
 
-    import pyarrow.parquet as pq
+    from ..state.convtable import ensure_arrow_sidecar
 
-    off = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
-    offsets_ref = ray.put(
-        {
-            "conv_ids": np.asarray(off.column("conv_id").to_pylist(), dtype=object),
-            "bases": off.column("base").to_numpy().astype(np.int64),
-        }
-    )
+    offsets_ref = {"offsets_path": ensure_arrow_sidecar(index_dir)}
 
     tmp_dir = os.path.join(index_dir, ".stored.tmp")
     if os.path.isdir(tmp_dir):

@@ -108,16 +108,53 @@ def warm_worker_heap(mb: int = 256) -> None:
     _HEAP_WARMED = True
 
 
+def _offsets_cache_key(offsets_ref) -> str:
+    if isinstance(offsets_ref, dict):
+        return offsets_ref.get("offsets_path") or str(id(offsets_ref))
+    return offsets_ref.hex()
+
+
+def _resolve_offsets(offsets_ref) -> dict:
+    """offsets_ref -> {"conv_ids": ..., "bases": ...}. Accepts the legacy
+    broadcast dict/ObjectRef AND the round-4 path form
+    ``{"offsets_path": <index dir or conv_offsets.arrow>}`` — the latter
+    ships only a string; each worker pages the mmapped sidecar in locally
+    (state/convtable.py) instead of deserializing a driver-built
+    O(#convs) object array."""
+    if isinstance(offsets_ref, dict) and "offsets_path" in offsets_ref:
+        import pyarrow.ipc  # noqa: F401  (lazy; only the path form needs it)
+
+        from ..state.convtable import ensure_arrow_sidecar
+
+        path = offsets_ref["offsets_path"]
+        if os.path.isdir(path):
+            path = ensure_arrow_sidecar(path)
+        mm = pa.memory_map(path)
+        t = pa.ipc.open_file(mm).read_all()
+        ids = t.column("conv_id")
+        bases = t.column("base")
+        return {
+            "conv_ids_arrow": ids.combine_chunks() if ids.num_chunks != 1 else ids.chunk(0),
+            "bases": (
+                bases.chunk(0).to_numpy(zero_copy_only=True)
+                if bases.num_chunks
+                else np.empty(0, dtype=np.int64)
+            ),
+        }
+    return ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
+
+
 def cached_conv_bases(offsets_ref) -> dict:
-    if isinstance(offsets_ref, dict):  # local/test path
-        off = offsets_ref
-        key = str(id(off))
-    else:
-        key = offsets_ref.hex()
+    key = _offsets_cache_key(offsets_ref)
     hit = _BROADCAST_CACHE.get(key)
     if hit is None:
-        off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
-        hit = dict(zip(off["conv_ids"].tolist(), off["bases"].tolist()))
+        off = _resolve_offsets(offsets_ref)
+        ids = (
+            off["conv_ids_arrow"].to_pylist()
+            if "conv_ids_arrow" in off
+            else off["conv_ids"].tolist()
+        )
+        hit = dict(zip(ids, off["bases"].tolist()))
         _BROADCAST_CACHE[key] = hit
     return hit
 
@@ -126,15 +163,21 @@ def cached_conv_lookup(offsets_ref):
     """(sorted conv_ids as numpy S-dtype, bases) for C-speed searchsorted
     addressing, or None when conv ids aren't ASCII (dict fallback). Bytes
     order == str order for ASCII, so the S array is sorted iff conv_ids is."""
-    key = ("sarr", str(id(offsets_ref)) if isinstance(offsets_ref, dict) else offsets_ref.hex())
+    key = ("sarr", _offsets_cache_key(offsets_ref))
     hit = _BROADCAST_CACHE.get(key, "miss")
     if hit == "miss":
-        off = ray.get(offsets_ref) if not isinstance(offsets_ref, dict) else offsets_ref
-        try:
-            sarr = np.asarray(off["conv_ids"], dtype=np.bytes_)
-            hit = (sarr, off["bases"])
-        except UnicodeEncodeError:
-            hit = None
+        off = _resolve_offsets(offsets_ref)
+        if "conv_ids_arrow" in off:
+            from ..state.convtable import s_array_from_arrow
+
+            sarr = s_array_from_arrow(off["conv_ids_arrow"])  # no boxing
+            hit = None if sarr is None else (sarr, off["bases"])
+        else:
+            try:
+                sarr = np.asarray(off["conv_ids"], dtype=np.bytes_)
+                hit = (sarr, off["bases"])
+            except UnicodeEncodeError:
+                hit = None
         _BROADCAST_CACHE[key] = hit
     return hit
 

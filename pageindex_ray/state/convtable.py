@@ -66,6 +66,57 @@ def ensure_arrow_sidecar(index_dir: str) -> str:
     )
 
 
+def s_array_from_arrow(arr) -> np.ndarray | None:
+    """Arrow String/LargeString array -> numpy fixed-width S-dtype array
+    WITHOUT Python string boxing: one vectorized scatter from the value
+    buffer into a zero-padded byte matrix (O(total bytes), C throughout).
+    Returns None when any byte is non-ASCII — the searchsorted addressing
+    path encodes its query side with numpy's ascii codec, so non-ASCII ids
+    must take the dict fallback (same contract as the old object-array
+    conversion, minus the per-string boxing)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype="S1")
+    if arr.null_count:
+        return None
+    if pa.types.is_large_string(arr.type):
+        off_dtype, off_width = np.int64, 8
+    elif pa.types.is_string(arr.type):
+        off_dtype, off_width = np.int32, 4
+    else:
+        return None
+    bufs = arr.buffers()  # [validity, offsets, data]
+    offs = np.frombuffer(
+        bufs[1], dtype=off_dtype, count=n + 1, offset=arr.offset * off_width
+    ).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    if total and data[offs[0]:offs[-1]].max() >= 128:
+        return None  # non-ASCII: byte-encode mismatch with the query side
+    w = max(1, int(lens.max()))
+    mat = np.zeros((n, w), dtype=np.uint8)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1] - offs[0], lens)
+    mat[rows, cols] = data[offs[0]:offs[-1]]
+    return mat.view(f"S{w}").reshape(n)
+
+
+_TABLE_CACHE: dict[str, "ConvTable"] = {}
+
+
+def cached_table(path: str) -> "ConvTable":
+    """Per-worker-process ConvTable cache (Ray reuses worker processes
+    across map_batches tasks — same load-once amortization as the
+    stages/postings broadcast caches)."""
+    ct = _TABLE_CACHE.get(path)
+    if ct is None:
+        ct = _TABLE_CACHE[path] = ConvTable(path)
+    return ct
+
+
 class ConvTable:
     """Zero-copy view over the mmapped offsets table.
 
@@ -76,7 +127,9 @@ class ConvTable:
     """
 
     def __init__(self, index_dir: str, row_range: tuple[int, int] | None = None):
-        path = ensure_arrow_sidecar(index_dir)
+        # accepts the index dir (derives/reuses the sidecar) or the sidecar
+        # file itself (worker-side path-form broadcast)
+        path = index_dir if index_dir.endswith(".arrow") else ensure_arrow_sidecar(index_dir)
         self._mm = pa.memory_map(path)
         t = pa.ipc.open_file(self._mm).read_all()
         if row_range is not None:
