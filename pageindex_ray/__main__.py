@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
         "--segment", type=int, default=0, metavar="SPAN",
         help="segment granularity with the given turn span (e.g. 4)",
     )
+    s.add_argument(
+        "--tree", default="", metavar="SPANS",
+        help="multi-level tree rollup: comma-separated nested spans, each "
+        "strictly dividing its parent (e.g. 16,4 = top-k convs with best "
+        "16-turn segment, best nested 4-turn segment, best turn)",
+    )
     s.add_argument("--wand", action="store_true", help="use block-max WAND")
     s.add_argument("--shards", type=int, default=8)
     s.add_argument(
@@ -318,7 +324,18 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit(
                     "--sort-by supports --where only (no boost/after/granularity/wand)"
                 )
-            if args.sort_by:
+            if args.tree and (args.conv or args.segment or args.wand or args.after
+                              or args.boost or args.sort_by
+                              or args.similarity != "bm25"):
+                raise SystemExit("--tree supports --where only")
+            if args.tree:
+                hits = eng.search_tree(
+                    args.query,
+                    k=args.k,
+                    spans=tuple(int(x) for x in args.tree.split(",")),
+                    where=dict(w.split("=", 1) for w in args.where) if args.where else None,
+                )
+            elif args.sort_by:
                 hits = eng.sorted_search(
                     args.query, by=args.sort_by, k=args.k, descending=not args.asc,
                     where=dict(w.split("=", 1) for w in args.where) if args.where else None,

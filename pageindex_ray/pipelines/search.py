@@ -915,7 +915,8 @@ class SearchEngine:
 
     # ------------------------------------------------ multi-level tree rollup
 
-    def _tree_topk(self, terms: list[str], k: int, spans, agg: str) -> dict | None:
+    def _tree_topk(self, terms: list[str], k: int, spans, agg: str,
+                   where_norm=()) -> dict | None:
         """Driver-path tree rollup (state/rollup.py): exhaustive per-turn
         scores -> nested best-segment drill-down for the top-k convs."""
         arrays = self._term_arrays(terms)
@@ -923,6 +924,10 @@ class SearchEngine:
             return None
         docs, scores = self._exhaustive(arrays)
         docs, scores = self._drop_deleted(docs, scores)
+        if where_norm and len(docs):
+            # filter BEFORE the rollup: every level aggregates only
+            # filter-surviving turns (same semantics as _grouped_topk)
+            docs, scores = self._apply_where(docs, scores, where_norm)
         if not len(docs):
             return None
         return tree_rollup(
@@ -930,7 +935,8 @@ class SearchEngine:
         )
 
     def search_tree(
-        self, query_text: str, k: int = 10, spans=(16, 4), agg: str = "sum"
+        self, query_text: str, k: int = 10, spans=(16, 4), agg: str = "sum",
+        where: dict | None = None,
     ) -> list[dict]:
         """Multi-level hierarchy retrieval — the configurable generalization
         of the fixed turn/segment/conv ladder (the reference's nested tree,
@@ -939,8 +945,12 @@ class SearchEngine:
         best ``spans[1]``-turn segment nested inside it, ..., and the best
         turn inside the innermost segment. Each span must strictly divide
         its parent so child segments nest. ``agg``: "sum" (default) or
-        "max" at every level. Returns one dict per conversation."""
-        t = self.search_tree_batch([(0, query_text)], k=k, spans=spans, agg=agg)
+        "max" at every level. ``where``: attribute filter (attrs sidecar),
+        applied BEFORE the rollup — every level aggregates only surviving
+        turns. Returns one dict per conversation."""
+        t = self.search_tree_batch(
+            [(0, query_text)], k=k, spans=spans, agg=agg, where=where
+        )
         return [
             {kk: vv for kk, vv in row.items() if kk != "query_id"}
             for row in t.to_pylist()
@@ -948,7 +958,7 @@ class SearchEngine:
 
     def search_tree_batch(
         self, queries: list[tuple[int, str]], k: int = 10, spans=(16, 4),
-        agg: str = "sum",
+        agg: str = "sum", where: dict | None = None,
     ) -> pa.Table:
         """Batch form of ``search_tree``. Output schema: query_id, rank,
         conv_id, conv_score, then l{i}_start / l{i}_score per level, then
@@ -957,6 +967,7 @@ class SearchEngine:
         complete conv rows and the merge is a plain top-k."""
         spans = validate_spans(spans)
         _check_agg(agg, "conv")
+        where_norm = normalize_where(where, self.attrs)
         per_query = [(qid, sorted(set(self.tokenize(q)))) for qid, q in queries]
         if self.scorers:
             self._fetch_dfs(sorted({t for _, ts in per_query for t in ts}))
@@ -964,7 +975,10 @@ class SearchEngine:
             live = [(qid, tidfs) for qid, tidfs in items if tidfs]
             results: list[dict | None] = [None] * len(items)
             if live:
-                futures = [s.tree_many.remote(live, k, spans, agg) for s in self.scorers]
+                futures = [
+                    s.tree_many.remote(live, k, spans, agg, where_norm)
+                    for s in self.scorers
+                ]
                 per_scorer = ray.get(futures)
                 merged = {
                     qid: merge_tree_partials([ps[i] for ps in per_scorer], k)
@@ -974,7 +988,9 @@ class SearchEngine:
         else:
             all_terms = sorted({t for _, ts in per_query for t in ts})
             self._term_arrays(all_terms)  # one bulk fetch+decode warms the cache
-            results = [self._tree_topk(ts, k, spans, agg) for _, ts in per_query]
+            results = [
+                self._tree_topk(ts, k, spans, agg, where_norm) for _, ts in per_query
+            ]
         qids: list[int] = []
         ranks: list[int] = []
         parts: dict[str, list] = defaultdict(list)

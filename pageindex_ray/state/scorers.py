@@ -671,11 +671,14 @@ class RangeScorer:
         return names[order], u_seg[order], sscores[order]
 
     def tree_many(self, queries: list[tuple[int, list[tuple[str, float]]]],
-                  k: int, spans, agg: str = "sum") -> list:
+                  k: int, spans, agg: str = "sum", where=()) -> list:
         """Batch multi-level tree rollup for this range (state/rollup.py):
         one result dict (or None) per query — complete conv rows, because
         ranges are conv-aligned; the driver merge is a plain top-k. Always
-        exhaustive (every level's group sum needs every matching turn)."""
+        exhaustive (every level's group sum needs every matching turn).
+        ``where``: normalized attribute clauses masked range-locally BEFORE
+        the rollup — a group's score aggregates only filter-surviving
+        turns, same semantics as the SQL twin."""
         from .rollup import tree_rollup
 
         union: dict[str, float] = {}
@@ -696,6 +699,9 @@ class RangeScorer:
 
                 alive = ~membership_mask(self._tomb_local, uniq)
                 uniq, vals = uniq[alive], vals[alive]
+            if where and len(uniq):
+                keep = self._where_keep(uniq, where)
+                uniq, vals = uniq[keep], vals[keep]
             if not len(uniq):
                 out.append(None)
                 continue

@@ -99,6 +99,19 @@ def test_cli_round3_surfaces(ray_session, tiny_corpus, tmp_path, capsys):
     boosted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert boosted
 
+    # multi-level tree rollup (round 4): nested drill-down rows; bad spans
+    # and unsupported combinations fail fast
+    assert main(["search", "--index", idx, "--query", "the of", "--tree", "16,4"]) == 0
+    tree_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tree_hits and {"conv_id", "l1_start", "l2_start", "turn_idx"} <= set(tree_hits[0])
+    assert main(["search", "--index", idx, "--query", "the", "--tree", "16,4",
+                 "--where", "role=user"]) == 0
+    capsys.readouterr()
+    with _pt.raises((SystemExit, ValueError)):
+        main(["search", "--index", idx, "--query", "x", "--tree", "4,3"])
+    with _pt.raises(SystemExit):
+        main(["search", "--index", idx, "--query", "x", "--tree", "16,4", "--wand"])
+
     out = str(tmp_path / "cli_export")
     assert main(["export", "--index", idx, "--query", "the", "--out", out]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

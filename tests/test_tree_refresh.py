@@ -2,6 +2,8 @@
 SearchEngine.search_tree), the incremental-refresh flow, and the real-model
 enrichment artifact (functions/bpe.py BpeRaritySummaryModel)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -198,3 +200,50 @@ def test_bpe_rarity_model_output_depends_on_artifact():
             self.top_n = 3
 
     assert NoMergeModel()(texts) != out  # artifact-dependent, not rule-only
+
+
+def test_search_tree_where_filters_before_rollup(ray_session, built_index):
+    """where= on the tree rollup: every level aggregates only
+    filter-surviving turns; driver and scorer-pool paths identical; the
+    drilled winning turn is itself a filter-surviving doc."""
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.attrs import AttrStore, attrs_dir_of, build_attrs
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    idx = built_index["index_dir"]
+    build_attrs(idx, built_index["transcripts"], columns=("role",))
+    e_drv = SearchEngine(idx, num_shards=2, num_scorers=0)
+    e_dist = SearchEngine(idx, num_shards=2, num_scorers=3)
+    try:
+        qs = pq.read_table(built_index["queries"])
+        queries = list(
+            zip(qs.column("query_id").to_pylist(), qs.column("text").to_pylist())
+        )
+        a = e_drv.search_tree_batch(queries, k=5, spans=(16, 4), where={"role": "user"})
+        b = e_dist.search_tree_batch(queries, k=5, spans=(16, 4), where={"role": "user"})
+        assert a.equals(b)
+        assert a.num_rows > 0
+
+        # winning turns must be user turns: doc = conv_base + turn_idx
+        off = pq.read_table(os.path.join(idx, "conv_offsets.parquet"))
+        base_of = dict(
+            zip(off.column("conv_id").to_pylist(), off.column("base").to_pylist())
+        )
+        user_ids = set(
+            AttrStore(attrs_dir_of(idx)).ids_for("role", ("user",)).tolist()
+        )
+        for row in a.to_pylist():
+            assert base_of[row["conv_id"]] + row["turn_idx"] in user_ids
+
+        # filtered conv scores never exceed unfiltered (subset of positive
+        # BM25 contributions)
+        full = e_drv.search_tree_batch(queries, k=100, spans=(16, 4)).to_pylist()
+        full_score = {(r["query_id"], r["conv_id"]): r["conv_score"] for r in full}
+        for row in a.to_pylist():
+            key = (row["query_id"], row["conv_id"])
+            if key in full_score:
+                assert row["conv_score"] <= full_score[key] + 1e-12
+    finally:
+        e_drv.shutdown()
+        e_dist.shutdown()
