@@ -185,7 +185,9 @@ class BpeRaritySummaryModel:
         out = []
         n_tokens = self.bpe.n_tokens
         for t in texts:
-            distinct = sorted(set(PIECE_RE.findall(t or "")))
+            # (-n_tokens, piece) is a total order over the distinct set, so
+            # no pre-sort is needed for determinism
+            distinct = set(PIECE_RE.findall(t or ""))
             ranked = sorted(distinct, key=lambda p: (-n_tokens(p), p))[: self.top_n]
             out.append(" ".join(ranked))
         return out

@@ -121,7 +121,10 @@ def transcripts_role_stats(sf_dir: str) -> pa.Table:
         t = pa.table(
             {"role": batch.column("role"), "n_tokens": token_counts(batch.column("text")).cast(pa.int64())}
         )
-        g = t.group_by("role").aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+        # count_all, not count: token_counts yields NULL for a null text and
+        # n_turns must count every TURN (the twin's count(*)), not every
+        # non-null token count
+        g = t.group_by("role").aggregate([("n_tokens", "sum"), ([], "count_all")])
         return g.rename_columns(partial_schema.names).cast(partial_schema)
 
     out = (

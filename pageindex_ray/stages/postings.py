@@ -110,7 +110,15 @@ def warm_worker_heap(mb: int = 256) -> None:
 
 def _offsets_cache_key(offsets_ref) -> str:
     if isinstance(offsets_ref, dict):
-        return offsets_ref.get("offsets_path") or str(id(offsets_ref))
+        path = offsets_ref.get("offsets_path")
+        if path:
+            # file identity rides the key: a rebuilt index at the SAME path
+            # (new conv_offsets.arrow) must not serve stale conv bases to
+            # reused worker processes (ObjectRef keys were unique per build;
+            # a bare path key is not)
+            st = os.stat(path)
+            return f"{path}:{st.st_mtime_ns}:{st.st_ino}"
+        return str(id(offsets_ref))
     return offsets_ref.hex()
 
 

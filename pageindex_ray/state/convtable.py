@@ -110,10 +110,15 @@ _TABLE_CACHE: dict[str, "ConvTable"] = {}
 def cached_table(path: str) -> "ConvTable":
     """Per-worker-process ConvTable cache (Ray reuses worker processes
     across map_batches tasks — same load-once amortization as the
-    stages/postings broadcast caches)."""
-    ct = _TABLE_CACHE.get(path)
+    stages/postings broadcast caches). Keyed by file identity, not the
+    bare path: a rebuilt index at the same path must not serve stale
+    offsets from a reused worker."""
+    st = os.stat(path)
+    key = f"{path}:{st.st_mtime_ns}:{st.st_ino}"
+    ct = _TABLE_CACHE.get(key)
     if ct is None:
-        ct = _TABLE_CACHE[path] = ConvTable(path)
+        _TABLE_CACHE.clear()  # one table per path generation
+        ct = _TABLE_CACHE[key] = ConvTable(path)
     return ct
 
 
@@ -126,14 +131,29 @@ class ConvTable:
     whole table (driver use).
     """
 
-    def __init__(self, index_dir: str, row_range: tuple[int, int] | None = None):
+    def __init__(self, index_dir: str, row_range: tuple[int, int] | None = None,
+                 cache_names: bool = False):
         # accepts the index dir (derives/reuses the sidecar) or the sidecar
         # file itself (worker-side path-form broadcast)
-        path = index_dir if index_dir.endswith(".arrow") else ensure_arrow_sidecar(index_dir)
-        self._mm = pa.memory_map(path)
-        t = pa.ipc.open_file(self._mm).read_all()
+        if index_dir.endswith(".arrow"):
+            t = pa.ipc.open_file(pa.memory_map(index_dir)).read_all()
+        else:
+            try:
+                t = pa.ipc.open_file(pa.memory_map(ensure_arrow_sidecar(index_dir))).read_all()
+            except (OSError, PermissionError):
+                # read-only deployment of a pre-sidecar index: serve from an
+                # in-memory Arrow load of the parquet (still no Python-object
+                # boxing — just not file-backed), preserving the round-3
+                # contract that opening an index never requires write access
+                t = pq.read_table(os.path.join(index_dir, PARQUET_NAME)).combine_chunks()
         if row_range is not None:
             t = t.slice(row_range[0], row_range[1] - row_range[0])
+        # optional lazily-boxed name slice: rollup scoring touches most of a
+        # range's convs per Zipf-head query — a RangeScorer amortizes the
+        # boxing once (O(slice), actor-local, never driver-shipped) instead
+        # of re-boxing per query; the driver keeps the per-query path
+        self._cache_names = cache_names
+        self._names_cache: np.ndarray | None = None
         ids = t.column("conv_id")
         bases = t.column("base")
         # single batch by construction; chunk(0) keeps the mmap backing
@@ -149,10 +169,17 @@ class ConvTable:
 
     def names_at(self, idx: np.ndarray) -> np.ndarray:
         """conv_id strings for the given row indices — materializes Python
-        objects ONLY for the touched rows (O(len(idx)), not O(#convs))."""
+        objects ONLY for the touched rows (O(len(idx)), not O(#convs));
+        with ``cache_names`` the whole slice is boxed once on first use and
+        later calls are pure pointer indexing."""
         if not len(idx):
             return np.empty(0, dtype=object)
-        taken = self.ids.take(pa.array(np.asarray(idx, dtype=np.int64)))
+        idx = np.asarray(idx, dtype=np.int64)
+        if self._cache_names:
+            if self._names_cache is None:
+                self._names_cache = np.asarray(self.ids.to_pylist(), dtype=object)
+            return self._names_cache[idx]
+        taken = self.ids.take(pa.array(idx))
         return np.asarray(taken.to_pylist(), dtype=object)
 
     def row_of(self, doc_ids: np.ndarray) -> np.ndarray:

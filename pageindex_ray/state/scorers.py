@@ -78,9 +78,13 @@ class RangeScorer:
         self._attrs_dir = attrs_dir
         self._attr_store = None
         self._attr_cache: dict[tuple, np.ndarray] = {}
-        # mmap-backed slice of the conv table (zero-copy bases view; conv-id
-        # strings materialized per query only for touched groups)
-        self._convs = ConvTable(index_dir, row_range=(int(row_lo), int(row_hi)))
+        # mmap-backed slice of the conv table (zero-copy bases view).
+        # cache_names: rollup queries touch most of the slice's convs, so
+        # the name boxing amortizes once per actor (O(slice), never
+        # driver-shipped) instead of re-boxing per query
+        self._convs = ConvTable(
+            index_dir, row_range=(int(row_lo), int(row_hi)), cache_names=True
+        )
         self.bases = self._convs.bases
         self.n = self.hi - self.lo
         self.k1, self.b, self.avgdl = float(k1), float(b), float(avgdl)

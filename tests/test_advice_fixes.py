@@ -229,3 +229,37 @@ def test_ivf_rebuilds_on_parameter_change(ray_session, tmp_path):
     assert len(dirs) > 4  # the 8-cluster layout is actually on disk
     m3 = build_ivf_index(ds, idx, n_clusters=8, sample_rows=256)
     assert m3 == m2  # identical params -> reuse
+
+
+def test_role_stats_counts_null_text_turns(ray_session, tmp_path):
+    """n_turns counts every TURN (the SQL twin's count(*)) even when text
+    is null — token_counts yields NULL there and a plain Arrow 'count'
+    would silently drop the row (code-review r4 finding)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines import textstats
+    from pageindex_ray.sources import transcripts as tsrc
+
+    d = str(tmp_path / "sf_null")
+    os.makedirs(d)
+    table = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c0", "c1"], type=pa.string()),
+            "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+            "role": pa.array(["user", "user", "assistant"], type=pa.string()),
+            "text": pa.array(["hello world", None, "three tokens here"], type=pa.string()),
+        }
+    )
+    tdir = str(tmp_path / "sf_null_t.parquet")
+    pq.write_table(table, tdir)
+    import unittest.mock as mock
+
+    with mock.patch.object(tsrc, "ensure_corpus", lambda sf: (tdir, None)):
+        with mock.patch.object(textstats, "ensure_corpus", lambda sf: (tdir, None)):
+            out = textstats.transcripts_role_stats(d).to_pandas().set_index("role")
+    assert int(out.loc["user", "n_turns"]) == 2  # null-text turn counted
+    assert int(out.loc["user", "sum_tokens"]) == 2
+    assert int(out.loc["assistant", "n_turns"]) == 1

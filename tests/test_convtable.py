@@ -68,3 +68,61 @@ def test_build_writes_sidecar_and_engine_uses_it(ray_session, built_index):
     from pageindex_ray.state.convtable import ARROW_NAME
 
     assert os.path.exists(os.path.join(built_index["index_dir"], ARROW_NAME))
+
+
+def test_readonly_index_still_opens(tmp_path):
+    """Pre-round-4 indexes on read-only storage must still serve: the
+    sidecar derivation falls back to an in-memory parquet load instead of
+    demanding write access (code-review r4 finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.state.convtable import ARROW_NAME, ConvTable
+
+    import unittest.mock as mock
+
+    from pageindex_ray.state import convtable
+
+    d = str(tmp_path / "ro_idx")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["c0", "c1"], type=pa.string()),
+                "base": pa.array([0, 7], type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "conv_offsets.parquet"),
+    )
+    # chmod can't model this under root (root bypasses mode bits): make the
+    # sidecar derivation itself raise the way a read-only mount would
+    with mock.patch.object(
+        convtable, "ensure_arrow_sidecar", side_effect=PermissionError("read-only")
+    ):
+        ct = ConvTable(d)
+    names, turns = ct.locate(np.array([0, 8], dtype=np.int64))
+    assert list(names) == ["c0", "c1"] and turns.tolist() == [0, 1]
+    assert not os.path.exists(os.path.join(d, ARROW_NAME))
+
+
+def test_cached_table_invalidates_on_rewrite(tmp_path):
+    """cached_table must not serve stale offsets after the sidecar is
+    rewritten at the same path (rebuilt index, reused worker process)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.state.convtable import cached_table, write_arrow_sidecar
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    t1 = pa.table({"conv_id": pa.array(["a"]), "base": pa.array([0], type=pa.int64())})
+    path = write_arrow_sidecar(t1, d)
+    assert len(cached_table(path)) == 1
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    t2 = pa.table(
+        {"conv_id": pa.array(["a", "b"]), "base": pa.array([0, 3], type=pa.int64())}
+    )
+    write_arrow_sidecar(t2, d)
+    assert len(cached_table(path)) == 2  # not the stale 1-row table
