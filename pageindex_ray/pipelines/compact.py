@@ -122,11 +122,14 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
             os.replace(tmp, final)
             with open(final, "rb") as f:
                 file_md5 = hashlib.md5(f.read()).hexdigest()
+            from ..stages.postings import file_identity
+
             lineage = {
                 "part": pid,
                 "n_terms": out.num_rows,
                 "n_postings": n_postings,
                 "file_md5": file_md5,
+                **file_identity(final),
                 "fingerprint": fingerprint,
                 "wall_s": 0.0,
                 "compacted_from": index_dir,

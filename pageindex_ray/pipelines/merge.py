@@ -245,11 +245,14 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
 
             with open(final, "rb") as f:
                 file_md5 = hashlib.md5(f.read()).hexdigest()
+            from ..stages.postings import file_identity
+
             lineage = {
                 "part": pid,
                 "n_terms": n_terms,
                 "n_postings": n_postings,
                 "file_md5": file_md5,
+                **file_identity(final),
                 "fingerprint": fingerprint,
                 "wall_s": 0.0,
                 "merged_from": len(dirs),

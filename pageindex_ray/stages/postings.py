@@ -691,6 +691,7 @@ def assemble_partition(
         "n_terms": len(uniq),
         "n_postings": int(n),
         "file_md5": file_md5,
+        **file_identity(final_path),
         "fingerprint": fingerprint,
         "wall_s": wall,
         "sections": _sec,
@@ -703,7 +704,20 @@ def assemble_partition(
     return pd.DataFrame([lineage])
 
 
-_LINEAGE_COLS = ["part", "n_terms", "n_postings", "file_md5", "fingerprint", "wall_s", "sections"]
+def file_identity(path: str) -> dict:
+    """(size, mtime_ns) of a committed shard — the resume fast path's
+    staleness check. The content md5 stays in the lineage as the
+    authoritative integrity record; the stat pair only decides whether the
+    md5 needs re-verifying (a 100-TB index restart must not re-READ every
+    committed shard just to prove nothing changed)."""
+    st = os.stat(path)
+    return {"file_size": st.st_size, "file_mtime_ns": st.st_mtime_ns}
+
+
+_LINEAGE_COLS = [
+    "part", "n_terms", "n_postings", "file_md5", "file_size", "file_mtime_ns",
+    "fingerprint", "wall_s", "sections",
+]
 
 _DIRECT_BLOCK_CACHE: dict[tuple, list] = {}
 
@@ -837,8 +851,19 @@ def scan_completed_partitions(index_dir: str, fingerprint: str) -> set[int]:
         shard = os.path.join(index_dir, "postings", f"part-{lineage['part']:05d}.parquet")
         if not os.path.exists(shard):
             continue
-        with open(shard, "rb") as f:
-            if hashlib.md5(f.read()).hexdigest() != lineage.get("file_md5"):
-                continue
+        # stat fast path: the lineage records the committed file's
+        # (size, mtime_ns); when both still match, the shard was not
+        # touched since its md5 was taken and re-reading it proves nothing
+        # new — a resumed 100-TB build must not re-read every committed
+        # shard at startup. Any mismatch (or a pre-round-4 lineage without
+        # the fields) falls back to the full content hash.
+        st = os.stat(shard)
+        if not (
+            lineage.get("file_size") == st.st_size
+            and lineage.get("file_mtime_ns") == st.st_mtime_ns
+        ):
+            with open(shard, "rb") as f:
+                if hashlib.md5(f.read()).hexdigest() != lineage.get("file_md5"):
+                    continue
         done.add(int(lineage["part"]))
     return done

@@ -353,3 +353,54 @@ def test_index_content_invariant_to_block_size(ray_session, tiny_corpus, tmp_pat
     finally:
         qa.shutdown()
         qb.shutdown()
+
+
+def test_resume_scan_fast_path_skips_rehash_but_catches_tamper(
+    ray_session, tiny_corpus, tmp_path
+):
+    """Round 4: scan_completed_partitions trusts a committed shard whose
+    (size, mtime_ns) still match its lineage WITHOUT re-reading it (a
+    resumed 100-TB build must not re-read the whole index at startup), and
+    still md5-rejects a shard whose stat changed. Pre-round-4 lineages
+    (no stat fields) keep the full-hash path."""
+    import json
+    import os
+    import unittest.mock as mock
+
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index, load_meta
+    from pageindex_ray.stages import postings as P
+
+    idx = str(tmp_path / "idx")
+    build_index(tiny_corpus["transcripts"], idx, BuildConfig(num_partitions=4))
+    fp = load_meta(idx)["fingerprint"]
+
+    # fast path: no shard content is read (md5 would blow up if called)
+    with mock.patch.object(P.hashlib, "md5", side_effect=AssertionError("re-hash!")):
+        done = P.scan_completed_partitions(idx, fp)
+    assert len(done) > 0
+
+    # tamper: rewrite one shard (stat changes) -> md5 fallback rejects it
+    victim = sorted(done)[0]
+    shard = os.path.join(idx, "postings", f"part-{victim:05d}.parquet")
+    with open(shard, "r+b") as f:
+        f.write(b"\x00" * 16)
+    done2 = P.scan_completed_partitions(idx, fp)
+    assert victim not in done2
+    assert done2 == done - {victim}
+
+    # pre-round-4 lineage (stat fields stripped): falls back to md5 and
+    # still validates the untouched shards
+    meta_dir = os.path.join(idx, "_meta")
+    for name in os.listdir(meta_dir):
+        if not name.startswith("part-"):
+            continue
+        p = os.path.join(meta_dir, name)
+        with open(p) as f:
+            lin = json.load(f)
+        lin.pop("file_size", None)
+        lin.pop("file_mtime_ns", None)
+        with open(p, "w") as f:
+            json.dump(lin, f)
+    done3 = P.scan_completed_partitions(idx, fp)
+    assert done3 == done - {victim}
