@@ -84,3 +84,52 @@ def test_random_corpus_rank_identical_to_oracle(ray_session, tmp_path, seed, sha
                     assert abs(h["score"] - s) <= 1e-9 * max(1.0, abs(s)), (q, wand)
     finally:
         eng.shutdown()
+
+
+@pytest.mark.parametrize(
+    "seed,shape",
+    [(21, "single_conv"), (22, "many_tiny"), (23, "degenerate"), (24, "mixed")],
+)
+def test_random_corpus_tree_rollup_paths_agree(ray_session, tmp_path, seed, shape):
+    """Round-4 tree rollup over the adversarial corpus family: driver and
+    scorer-pool paths bit-identical, nesting invariants hold, and the
+    conv-level ranking equals the conv-granularity search (the tree's top
+    level IS the conv rollup)."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    table = _random_corpus(seed, shape)
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(table, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, BuildConfig(num_partitions=4))
+
+    rng = np.random.default_rng(seed + 200)
+    vocab = [f"w{i}" for i in range(30)] + ["the", "of", "and", "zzabsent"]
+    queries = [
+        (i, " ".join(rng.choice(vocab, rng.integers(1, 4)).tolist()))
+        for i in range(10)
+    ]
+    e_drv = SearchEngine(idx, num_shards=2, num_scorers=0)
+    e_dist = SearchEngine(idx, num_shards=2, num_scorers=3)
+    try:
+        for spans in [(16, 4), (8, 2)]:
+            a = e_drv.search_tree_batch(queries, k=5, spans=spans)
+            b = e_dist.search_tree_batch(queries, k=5, spans=spans)
+            assert a.equals(b), (seed, shape, spans)
+        t = a.to_pandas()
+        if len(t):
+            assert ((t["turn_idx"] >= t["l2_start"]) & (t["turn_idx"] < t["l2_start"] + 2)).all()
+            assert ((t["l2_start"] >= t["l1_start"]) & (t["l2_start"] < t["l1_start"] + 8)).all()
+        # top level == conv-granularity rollup (same ranking + scores)
+        conv = e_drv.search_terms_batch(
+            [(qid, sorted(set(e_drv.tokenize(q)))) for qid, q in queries],
+            k=5, granularity="conv",
+        ).to_pandas()
+        tree = a.to_pandas()
+        assert list(tree["conv_id"]) == list(conv["conv_id"])
+        assert np.allclose(tree["conv_score"], conv["score"], rtol=1e-12)
+    finally:
+        e_drv.shutdown()
+        e_dist.shutdown()
