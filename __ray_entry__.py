@@ -725,6 +725,16 @@ def _q_doc_quality(sf_dir: str):
     return documents_quality(sf_dir)
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic content-hash train/val/test split over the documents
+    table (pipelines/textstats.documents_split): md5-of-text key so exact
+    duplicates share a split; boundaries are fixed-width hex prefixes the
+    SQL twin compares with the identical literals."""
+    from pageindex_ray.pipelines.textstats import documents_split
+
+    return documents_split(sf_dir)
+
+
 def _q_doc_langid(sf_dir: str):
     from pageindex_ray.pipelines.textstats import documents_langid
 
@@ -1198,7 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe2": _q_doc_tokens_bpe2,
         "doc_quality": _q_doc_quality,
-        "doc_langid": _q_doc_langid,
+        "dataset_split": _q_dataset_split,
         # --- dedup / ANN -----------------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -1241,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_ppm": _q_multimodal_ppm,
         "bm25_tombstoned_topk": _q_bm25_tombstoned,
         "bm25_compacted_topk": _q_bm25_compacted,
+        "doc_langid": _q_doc_langid,
         "events_by_type": _q_events_by_type,
         "top_revenue_orders": _q_top_orders,
         "dedup_minhash_cc": _q_dedup_minhash_cc,
@@ -1358,6 +1369,23 @@ def oracle_sql() -> dict[str, str]:
 
 
 _SQL_MEMO: dict[tuple, str] = {}
+
+
+def _dataset_split_sql() -> str:
+    """Twin of pipelines/textstats.documents_split: the SAME fixed-width
+    lowercase-hex md5-prefix boundaries, compared lexicographically (==
+    numerically for fixed-width hex). DuckDB md5() and hashlib.md5 agree on
+    the utf-8 bytes — parity already proven by the doc_fingerprint gate."""
+    from pageindex_ray.pipelines.textstats import SPLIT_FRACTIONS, _split_bounds
+
+    b_train, b_val = _split_bounds(SPLIT_FRACTIONS)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN substring(md5(text), 1, 8) < '{b_train}' THEN 'train'
+                    WHEN substring(md5(text), 1, 8) < '{b_val}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
 
 
 def _phrase_search_sql(tpath: str = _TPATH, phrases=None) -> str:
@@ -2426,6 +2454,7 @@ FROM m GROUP BY query_id, role
                    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / greatest(len(toks), 1) AS mean_tok_len
             FROM t
         """,
+        "dataset_split": _dataset_split_sql(),
         "doc_langid": f"""
             WITH t AS (
               SELECT doc_id, {_TOKS} AS toks FROM documents

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
@@ -99,6 +100,51 @@ def documents_fingerprint(sf_dir: str) -> "ray.data.Dataset":
                 "doc_id": batch.column("doc_id"),
                 "fp": md5_fingerprints(batch.column("text")),
                 "rolling_fp": rolling_fingerprint(batch.column("text")),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+# split-fraction boundaries as fixed-width lowercase-hex md5 prefixes:
+# lexicographic comparison on the first 8 hex chars == numeric comparison
+# on the top 32 hash bits, and the SAME literals are interpolated into the
+# DuckDB twin, so engine and oracle agree byte-for-byte
+def _split_bounds(fractions: tuple[float, float]) -> tuple[str, str]:
+    lo, hi = fractions
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(f"split fractions must satisfy 0 < train < train+val < 1, got {fractions}")
+    return f"{int(lo * (1 << 32)):08x}", f"{int(hi * (1 << 32)):08x}"
+
+
+SPLIT_FRACTIONS = (0.9, 0.95)  # train < 0.9, val < 0.95, else test
+
+
+def documents_split(sf_dir: str, fractions: tuple[float, float] = SPLIT_FRACTIONS) -> "ray.data.Dataset":
+    """Deterministic content-hash train/val/test split — the dataset-split
+    primitive every training pipeline needs. The split key is the md5 of
+    the document TEXT (not the id), so exact duplicates always land in the
+    same split (no train/test leakage through copies) and the assignment
+    is reproducible across runs, partitionings, and engines. Scale shape:
+    stateless map_batches, no shuffle; the reference has no analogue (its
+    corpus is a handful of PDFs) — this is a §2.8-family training-data op."""
+    b_train, b_val = _split_bounds(fractions)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h8 = np.asarray(
+            pc.utf8_slice_codeunits(md5_fingerprints(batch.column("text")), 0, 8)
+            .to_pylist(),
+            dtype=np.bytes_,
+        )
+        split = np.where(
+            h8 < b_train.encode(), "train", np.where(h8 < b_val.encode(), "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split.astype(object), type=pa.string()),
             }
         )
 
