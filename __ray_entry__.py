@@ -1375,14 +1375,16 @@ def _dataset_split_sql() -> str:
     """Twin of pipelines/textstats.documents_split: the SAME fixed-width
     lowercase-hex md5-prefix boundaries, compared lexicographically (==
     numerically for fixed-width hex). DuckDB md5() and hashlib.md5 agree on
-    the utf-8 bytes — parity already proven by the doc_fingerprint gate."""
+    the utf-8 bytes — parity already proven by the doc_fingerprint gate.
+    coalesce pins the NULL-text contract to the engine's md5(t or ''):
+    a null doc splits like an empty one, not unconditionally 'test'."""
     from pageindex_ray.pipelines.textstats import SPLIT_FRACTIONS, _split_bounds
 
     b_train, b_val = _split_bounds(SPLIT_FRACTIONS)
     return f"""
         SELECT doc_id,
-               CASE WHEN substring(md5(text), 1, 8) < '{b_train}' THEN 'train'
-                    WHEN substring(md5(text), 1, 8) < '{b_val}' THEN 'val'
+               CASE WHEN substring(md5(coalesce(text, '')), 1, 8) < '{b_train}' THEN 'train'
+                    WHEN substring(md5(coalesce(text, '')), 1, 8) < '{b_val}' THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     """

@@ -857,8 +857,11 @@ def scan_completed_partitions(index_dir: str, fingerprint: str) -> set[int]:
         # new — a resumed 100-TB build must not re-read every committed
         # shard at startup. Any mismatch (or a pre-round-4 lineage without
         # the fields) falls back to the full content hash.
+        # GRAFT_RESUME_PARANOID=1 forces the full-hash scan regardless —
+        # for restore/migration scenarios where an mtime-preserving tool
+        # (cp -p, rsync -t) may have swapped in a same-size shard.
         st = os.stat(shard)
-        if not (
+        if os.environ.get("GRAFT_RESUME_PARANOID") == "1" or not (
             lineage.get("file_size") == st.st_size
             and lineage.get("file_mtime_ns") == st.st_mtime_ns
         ):

@@ -117,7 +117,12 @@ def cached_table(path: str) -> "ConvTable":
     key = f"{path}:{st.st_mtime_ns}:{st.st_ino}"
     ct = _TABLE_CACHE.get(key)
     if ct is None:
-        _TABLE_CACHE.clear()  # one table per path generation
+        # evict only stale generations of the SAME path — a reused worker
+        # alternating batches between two live indexes must not thrash the
+        # other index's table out of the cache on every alternation
+        prefix = f"{path}:"
+        for stale in [k for k in _TABLE_CACHE if k.startswith(prefix)]:
+            del _TABLE_CACHE[stale]
         ct = _TABLE_CACHE[key] = ConvTable(path)
     return ct
 

@@ -263,3 +263,42 @@ def test_role_stats_counts_null_text_turns(ray_session, tmp_path):
     assert int(out.loc["user", "n_turns"]) == 2  # null-text turn counted
     assert int(out.loc["user", "sum_tokens"]) == 2
     assert int(out.loc["assistant", "n_turns"]) == 1
+
+
+def test_documents_split_null_text_matches_sql_twin(ray_session, tmp_path):
+    """A NULL document text splits like an empty one — the engine hashes
+    md5(t or '') and the SQL twin coalesces, so both assign md5('')'s
+    bucket instead of the twin silently falling through to 'test'
+    (ADVICE r4: pin the admissible-input contract)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.pipelines.textstats import documents_split
+
+    d = str(tmp_path / "sf_nulldoc")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(["alpha beta", None, ""], type=pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    eng = documents_split(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    sql = entry.oracle_sql()["dataset_split"]
+    ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert list(eng["split"]) == list(ora["split"])
+    # null and empty text land in the SAME split (md5('') bucket)
+    assert eng.loc[1, "split"] == eng.loc[2, "split"]

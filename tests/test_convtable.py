@@ -126,3 +126,27 @@ def test_cached_table_invalidates_on_rewrite(tmp_path):
     )
     write_arrow_sidecar(t2, d)
     assert len(cached_table(path)) == 2  # not the stale 1-row table
+
+
+def test_cached_table_keeps_other_live_indexes(tmp_path):
+    """Eviction is per-path-generation, not cache-wide: a reused worker
+    alternating between two live indexes must hit the cache for both
+    (ADVICE r4 — the old clear() thrashed the other table every swap)."""
+    import pyarrow as pa
+
+    from pageindex_ray.state import convtable
+    from pageindex_ray.state.convtable import cached_table, write_arrow_sidecar
+
+    da, db = str(tmp_path / "ia"), str(tmp_path / "ib")
+    os.makedirs(da), os.makedirs(db)
+    pa_ = pa.table({"conv_id": pa.array(["a"]), "base": pa.array([0], type=pa.int64())})
+    pb_ = pa.table(
+        {"conv_id": pa.array(["x", "y"]), "base": pa.array([0, 2], type=pa.int64())}
+    )
+    path_a = write_arrow_sidecar(pa_, da)
+    path_b = write_arrow_sidecar(pb_, db)
+    ta = cached_table(path_a)
+    tb = cached_table(path_b)
+    assert cached_table(path_a) is ta  # not evicted by loading b
+    assert cached_table(path_b) is tb
+    assert len(convtable._TABLE_CACHE) >= 2

@@ -404,3 +404,37 @@ def test_resume_scan_fast_path_skips_rehash_but_catches_tamper(
             json.dump(lin, f)
     done3 = P.scan_completed_partitions(idx, fp)
     assert done3 == done - {victim}
+
+
+def test_resume_scan_paranoid_env_forces_full_hash(ray_session, tiny_corpus, tmp_path):
+    """GRAFT_RESUME_PARANOID=1 bypasses the stat fast path: a same-size
+    mtime-preserved swap (cp -p / restore) is caught by the forced md5
+    (ADVICE r4 — opt-in integrity for migration scenarios)."""
+    import os
+    import unittest.mock as mock
+
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index, load_meta
+    from pageindex_ray.stages import postings as P
+
+    idx = str(tmp_path / "idxp")
+    build_index(tiny_corpus["transcripts"], idx, BuildConfig(num_partitions=4))
+    fp = load_meta(idx)["fingerprint"]
+    done = P.scan_completed_partitions(idx, fp)
+    victim = sorted(done)[0]
+    shard = os.path.join(idx, "postings", f"part-{victim:05d}.parquet")
+
+    # mtime-preserving same-size corruption: flip bytes, restore stat
+    st = os.stat(shard)
+    with open(shard, "r+b") as f:
+        f.write(b"\x00" * 16)
+    os.utime(shard, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert os.stat(shard).st_size == st.st_size
+
+    # default: stat fast path trusts it (the documented tradeoff)
+    assert victim in P.scan_completed_partitions(idx, fp)
+    # paranoid: forced md5 rejects it
+    with mock.patch.dict(os.environ, {"GRAFT_RESUME_PARANOID": "1"}):
+        done_p = P.scan_completed_partitions(idx, fp)
+    assert victim not in done_p
+    assert done_p == done - {victim}
