@@ -303,12 +303,9 @@ def emit_postings_batch(
     text_col = batch.column("text")
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
-    lists = resolve_tokenizer(tokenizer).arrow_token_lists(text_col)
-    flat = lists.flatten()
-    parents = lists.value_parent_indices().to_numpy()
-    nonempty = pc.not_equal(flat, "")
-    flat = flat.filter(nonempty)
-    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    # arrow_flat_tokens: ASCII byte-LUT fast path when the spec allows it,
+    # regex kernels otherwise — identical output either way (tokenizer.py)
+    flat, parents = resolve_tokenizer(tokenizer).arrow_flat_tokens(text_col)
 
     def _docmap_run() -> dict[str, list]:
         """Packed docmap run (part = -1): every row's (doc_id, doc_len),
@@ -343,10 +340,16 @@ def emit_postings_batch(
     # value_counts assuming hash-O(n) wins; measured on the real key stream
     # the sort path is ~4x faster: 8.6 ms vs 34.6 ms per 500k-token batch,
     # and the sorted output is deterministic by construction.)
-    key = parents.astype(np.int64) * nuniq + codes
+    # int32 keys when the (row, code) space fits — the C sort inside
+    # np.unique runs ~2x faster on 4-byte keys (guarded: falls back to
+    # int64 for huge batch vocabularies)
+    if len(doc_id) * nuniq < (1 << 31):
+        key = parents.astype(np.int32) * np.int32(nuniq) + codes.astype(np.int32)
+    else:
+        key = parents.astype(np.int64) * nuniq + codes
     uk, counts = np.unique(key, return_counts=True)
-    u_local = uk // nuniq
-    u_code = uk % nuniq
+    u_local = (uk // nuniq).astype(np.int64)
+    u_code = (uk % nuniq).astype(np.int64)
 
     uniq_np = np.asarray(uniques.to_pylist(), dtype=object)  # per-batch uniques only
     out_doc_ids = doc_id[u_local]
@@ -393,7 +396,14 @@ def emit_postings_batch(
     # boundary arithmetic — round 3 ran np.unique + searchsorted per run
     # (533 partitions x 500 batches at sf4 = 266k Python-loop iterations on
     # the build's hottest path).
-    order = np.lexsort((u_code, parts))  # part-major, code-minor
+    # part-major, code-minor via ONE combined-key introsort (the two-pass
+    # lexsort was 34 ms of the 177 ms sf4 emit batch; order within a
+    # (part, code) run is free — the reducer's global (term, doc) sort owns
+    # ordering, emit runs carry no order guarantee). int32 key when it fits.
+    if num_partitions * nuniq < (1 << 31):
+        order = np.argsort(parts.astype(np.int32) * np.int32(nuniq) + u_code.astype(np.int32))
+    else:
+        order = np.argsort(parts.astype(np.int64) * np.int64(nuniq) + u_code)
     p_s = parts[order]
     c_s = u_code[order]
     docs_s = out_doc_ids[order]

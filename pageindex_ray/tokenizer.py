@@ -81,6 +81,60 @@ def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
 
 from dataclasses import dataclass as _dataclass
 
+# a-z lowering LUT for the ASCII fast path (byte-identical to utf8_lower on
+# pure-ASCII buffers)
+_ASCII_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_ASCII_LOWER_LUT[ord("A") : ord("Z") + 1] += 32
+
+
+def _token_byte_lut(token_pattern: str):
+    """256-bool token-byte LUT for patterns of the form ``[<class>]+`` with a
+    literal ASCII char class (ranges, \\t\\n\\r escapes, optional ^). None
+    for anything richer — callers keep the regex kernel. The LUT drives the
+    emit fast path: on a pure-ASCII buffer, 'token byte' is a per-byte
+    property, so tokenization is numpy boundary arithmetic instead of RE2."""
+    m = re.fullmatch(r"\[(\^?)((?:[^\]\\]|\\.)+)\]\+", token_pattern)
+    if not m:
+        return None
+    neg, body = m.group(1) == "^", m.group(2)
+    esc = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\", "]": "]", "^": "^", "-": "-"}
+    items: list[tuple[str, bool]] = []  # (char, was_escaped)
+    i = 0
+    while i < len(body):
+        if body[i] == "\\":
+            if i + 1 >= len(body) or body[i + 1] not in esc:
+                return None
+            items.append((esc[body[i + 1]], True))
+            i += 2
+        else:
+            items.append((body[i], False))
+            i += 1
+    lut = np.zeros(256, dtype=bool)
+    j = 0
+    while j < len(items):
+        if (
+            j + 2 < len(items)
+            and items[j + 1] == ("-", False)
+            and not items[j][1]
+            and not items[j + 2][1]
+        ):
+            lo, hi = ord(items[j][0]), ord(items[j + 2][0])
+            if lo > hi or hi > 127:
+                return None
+            lut[lo : hi + 1] = True
+            j += 3
+        else:
+            o = ord(items[j][0])
+            if o > 127:
+                return None
+            lut[o] = True
+            j += 1
+    if neg:
+        lut = ~lut
+        # non-ASCII bytes never reach the LUT (the fast path bails on them)
+        lut[128:] = False
+    return lut
+
 
 @_dataclass(frozen=True)
 class TokenizerSpec:
@@ -99,6 +153,7 @@ class TokenizerSpec:
 
     def __post_init__(self):
         object.__setattr__(self, "_re", re.compile(self.token_pattern))
+        object.__setattr__(self, "_byte_lut", _token_byte_lut(self.token_pattern))
 
     # scalar (query-side, oracle helper, tests)
     def tokenize(self, text: str) -> list[str]:
@@ -113,6 +168,102 @@ class TokenizerSpec:
         if self.lowercase:
             arr = pc.utf8_lower(arr)
         return pc.split_pattern_regex(arr, self.split_pattern)
+
+    # Emit hot path: text array -> (flat nonempty tokens, int64 parent rows).
+    # Semantically identical to arrow_token_lists + flatten + drop-empties;
+    # on a pure-ASCII buffer with a simple char-class spec it runs as numpy
+    # boundary arithmetic (byte LUT + run detection) instead of the RE2
+    # split kernel — measured ~6x on the sf4 emit stage, exact-identity
+    # pinned by test_arrow_flat_tokens_fast_path_identity.
+    def arrow_flat_tokens(self, arr):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        fast = self._flat_tokens_ascii(arr)
+        if fast is not None:
+            return fast
+        lists = self.arrow_token_lists(arr)
+        flat = lists.flatten()
+        parents = lists.value_parent_indices().to_numpy()
+        nonempty = pc.not_equal(flat, "")
+        mask = nonempty.to_numpy(zero_copy_only=False)
+        return flat.filter(nonempty), parents[mask].astype(np.int64)
+
+    def _flat_tokens_ascii(self, arr):
+        """None unless the spec has a byte LUT AND the buffer is pure ASCII
+        (a single non-ASCII byte anywhere falls the whole batch back to the
+        regex path — per-byte token classes are only sound for ASCII)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lut = self._byte_lut
+        if lut is None or not isinstance(arr, pa.StringArray):
+            return None
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        empty_out = (
+            pa.array([], type=pa.string()),
+            np.empty(0, dtype=np.int64),
+        )
+        if len(arr) == 0:
+            return empty_out
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        lo, hi = int(offsets[0]), int(offsets[-1])
+        if hi == lo:
+            return empty_out
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
+        if int(data.max()) >= 128:
+            return None
+        if self.lowercase:
+            data = _ASCII_LOWER_LUT[data]
+        is_tok = lut[data]
+        n = len(data)
+        rel_off = offsets.astype(np.int64) - lo
+        # token starts: a token byte not preceded by one, or at a row start
+        prev = np.empty(n, dtype=bool)
+        prev[0] = False
+        prev[1:] = is_tok[:-1]
+        rs = rel_off[:-1]
+        prev[rs[rs < n]] = False
+        starts = np.flatnonzero(is_tok & ~prev)
+        if len(starts) == 0:
+            return empty_out
+        # token ends: a token byte not followed by one, or at a row end
+        nxt = np.empty(n, dtype=bool)
+        nxt[-1] = False
+        nxt[:-1] = is_tok[1:]
+        re_ = rel_off[1:] - 1
+        nxt[re_[(re_ >= 0) & (re_ < n)]] = False
+        ends = np.flatnonzero(is_tok & ~nxt)
+        lengths = ends - starts + 1
+        total = int(lengths.sum())
+        if total >= (1 << 31):
+            return None  # int32 offsets would overflow; regex path handles it
+        # parents via per-row token counts (searchsorted on the 16k row
+        # offsets over the sorted starts — ~30x fewer comparisons than
+        # searchsorted per token) then one repeat
+        row_tok_counts = np.diff(np.searchsorted(starts, rel_off))
+        parents = np.repeat(
+            np.arange(len(arr), dtype=np.int64), row_tok_counts
+        )
+        cum = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=cum[1:])
+        # gather = arange + ONE repeat of the per-token (start - cumstart)
+        # shift; py_buffer wraps the numpy arrays zero-copy
+        out_bytes = data[
+            np.arange(total, dtype=np.int64) + np.repeat(starts - cum[:-1], lengths)
+        ]
+        flat = pa.Array.from_buffers(
+            pa.utf8(),
+            len(starts),
+            [None, pa.py_buffer(cum.astype(np.int32)), pa.py_buffer(out_bytes)],
+        )
+        return flat, parents
 
     # Arrow-vectorized token COUNT (docmap doc_len): nulls count as 0
     def arrow_token_count(self, arr):

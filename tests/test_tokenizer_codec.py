@@ -193,3 +193,66 @@ def test_bpe_committed_table_deterministic():
         "/root/testdata/sf0.001/documents.parquet", columns=["text"]
     ).column("text").to_pylist()
     assert train_bpe(texts, n_merges=1000) == load_merges(_MERGES_PATH)
+
+
+def test_arrow_flat_tokens_fast_path_identity():
+    """The ASCII byte-LUT tokenize fast path (round 5 emit hot-path) must be
+    byte-identical to the regex kernel path on every admissible input, and
+    must transparently fall back on non-ASCII text and LUT-less specs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pageindex_ray.tokenizer import TokenizerSpec, get_tokenizer
+
+    def generic(spec, arr):
+        lists = spec.arrow_token_lists(arr)
+        flat = lists.flatten()
+        parents = lists.value_parent_indices().to_numpy()
+        ne = pc.not_equal(flat, "")
+        return flat.filter(ne).to_pylist(), parents[
+            ne.to_numpy(zero_copy_only=False)
+        ].tolist()
+
+    spec = get_tokenizer("alnum-lower-v1")
+    assert spec._byte_lut is not None
+    cases = [
+        ["Hello, World! 123", "", None, "  ", "a", "MiXeD-case_42", "t\tt\nn\rr"],
+        [".lead", "trail.", "..", "0", "a" * 300 + "!b"],
+        [], [None, None], ["", ""],
+        ["café latte", "ascii only"],  # non-ASCII -> whole-batch fallback
+    ]
+    for texts in cases:
+        arr = pa.array(texts, type=pa.string())
+        flat, parents = spec.arrow_flat_tokens(arr)
+        gflat, gparents = generic(spec, arr)
+        assert flat.to_pylist() == gflat, texts
+        assert list(parents) == gparents, texts
+        assert parents.dtype == np.int64
+
+    # sliced (nonzero offset) arrays
+    sl = pa.array(["skip me", "Take One", "two 2"]).slice(1, 2)
+    flat, parents = spec.arrow_flat_tokens(sl)
+    assert flat.to_pylist() == ["take", "one", "two", "2"]
+    assert list(parents) == [0, 0, 1, 1]
+
+    # whitespace (non-lowercasing, negated-class) spec gets a LUT too
+    ws = TokenizerSpec(
+        name="ws-test", token_pattern=r"[^ \t\n\r]+",
+        split_pattern=r"[ \t\n\r]+", lowercase=False,
+    )
+    assert ws._byte_lut is not None
+    arr = pa.array(["Keep.Case  two", "\tx\n", ""])
+    flat, parents = ws.arrow_flat_tokens(arr)
+    assert flat.to_pylist() == ["Keep.Case", "two", "x"]
+    assert list(parents) == [0, 0, 1]
+
+    # a spec whose pattern is richer than a char class has NO LUT and still
+    # works through the regex path
+    rich = TokenizerSpec(
+        name="rich-test", token_pattern=r"[a-z]+(?:'[a-z]+)?",
+        split_pattern=r"[^a-z']+", lowercase=True,
+    )
+    assert rich._byte_lut is None  # token pattern has a group -> no LUT
+    flat, parents = rich.arrow_flat_tokens(pa.array(["don't stop"]))
+    assert "don't" in flat.to_pylist()
