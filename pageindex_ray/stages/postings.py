@@ -208,11 +208,15 @@ def cached_term_parts(terms: np.ndarray, num_partitions: int) -> np.ndarray:
 # Packed shuffle wire format: ONE ROW PER (input batch, partition) instead of
 # one row per posting. A posting row through a 52M-row shuffle costs ~30 bytes
 # plus per-row Arrow overhead and repeats its term string; the packed form
-# ships each run's unique terms once (newline-joined blob) and the posting
-# arrays as width-minimized little-endian buffers (doc offsets from the run's
-# first doc_id, tf, dl — usually 1-2 bytes each). At sf1 this cuts shuffle
-# bytes ~4x and row count ~4000x, which is what keeps the sort-shuffle
-# transport off the critical path at scale.
+# ships each run's unique terms once (fixed-width blob) and the posting
+# arrays as width-minimized little-endian buffers. Runs are doc-ASCENDING and
+# the "docs" buffer carries per-run deltas from base_doc (first delta 0, the
+# run start IS base_doc; decoders cumsum) — sorted deltas of a 16k-turn batch
+# fit 2 bytes where absolute run offsets needed 4, and the docs plane was 57%
+# of the wire (measured round 5; term bytes are 0.9%). tf/dl are usually
+# 1-2 bytes each. At sf1 this cuts shuffle bytes ~4x and row count ~4000x vs
+# row-per-posting, which is what keeps the shuffle transport off the critical
+# path at scale.
 PACKED_SCHEMA = pa.schema(
     [
         ("part", pa.int32()),
@@ -313,9 +317,15 @@ def emit_postings_batch(
         Rides the same wire format, so the build needs no second
         read+tokenize pass over the corpus for the docmap sink."""
         dl_all = np.bincount(parents, minlength=len(doc_id)).astype(np.int64)
-        dm_base = int(doc_id.min())
-        d_b, dw = _pack_ints(doc_id - dm_base)
-        l_b, lw = _pack_ints(dl_all)
+        # doc-sorted + delta-coded, same as posting runs (decoders cumsum)
+        om = np.argsort(doc_id)
+        dm_docs = doc_id[om]
+        dm_base = int(dm_docs[0])
+        dm_delta = dm_docs.copy()
+        dm_delta[1:] -= dm_docs[:-1]
+        dm_delta[0] = 0
+        d_b, dw = _pack_ints(dm_delta)
+        l_b, lw = _pack_ints(dl_all[om])
         return {
             "part": [-1], "base_doc": [dm_base], "n": [len(doc_id)],
             "terms": [b""], "sw": [0], "codes": [b""], "docs": [d_b],
@@ -380,30 +390,38 @@ def emit_postings_batch(
                 parts[hot_mask] = salt_matrix[hot_row[u_code[hot_mask]], salts]
     if completed:
         keep = ~np.isin(parts, np.fromiter(completed, dtype=np.int64))
-        u_code, out_doc_ids, counts, dls_all, parts = (
-            u_code[keep], out_doc_ids[keep], counts[keep], dls_all[keep], parts[keep]
+        u_code, u_local, out_doc_ids, counts, dls_all, parts = (
+            u_code[keep], u_local[keep], out_doc_ids[keep], counts[keep],
+            dls_all[keep], parts[keep],
         )
     if len(parts) == 0:
         if emit_docmap and len(doc_id):
             return pa.table(_docmap_run(), schema=PACKED_SCHEMA)
         return _EMPTY_POSTINGS
 
-    # pack one row per partition present in this batch (runs carry no order
-    # guarantee — the reducer's global (term, doc) sort owns ordering; doc
-    # offsets are from the run's MIN doc_id so they are always non-negative
-    # even when the input file is not conv-sorted). Grouping, per-run vocab
-    # extraction and local-code assignment are ONE (part, code) lexsort plus
-    # boundary arithmetic — round 3 ran np.unique + searchsorted per run
-    # (533 partitions x 500 batches at sf4 = 266k Python-loop iterations on
-    # the build's hottest path).
-    # part-major, code-minor via ONE combined-key introsort (the two-pass
-    # lexsort was 34 ms of the 177 ms sf4 emit batch; order within a
-    # (part, code) run is free — the reducer's global (term, doc) sort owns
-    # ordering, emit runs carry no order guarantee). int32 key when it fits.
-    if num_partitions * nuniq < (1 << 31):
-        order = np.argsort(parts.astype(np.int32) * np.int32(nuniq) + u_code.astype(np.int32))
+    # Pack one row per partition present in this batch. Layout sort is ONE
+    # (part, doc) combined-key introsort: runs come out part-major with
+    # doc-ASCENDING entries, so the docs plane ships as per-run DELTAS (the
+    # docs buffer was 57% of the packed wire at sf4 — measured round 5 —
+    # and sorted deltas fit 1-2 bytes where absolute run offsets needed 4;
+    # this is the shuffle-byte lever — term bytes, which the round-4 plan
+    # suspected, are 0.9% of the wire). Per-run vocab + local codes come
+    # from ONE np.unique over the (part, code) slot keys + searchsorted —
+    # round 3 ran np.unique + searchsorted per run (533 partitions x 500
+    # batches at sf4 = 266k Python-loop iterations on the hottest path);
+    # within-a-doc tie order is free (the reducer's global (term, doc)
+    # sort owns ordering).
+    # doc VALUES can be huge (global ids) but a batch holds <= #rows distinct
+    # docs, and doc_id is unique per row — sort by per-batch doc RANK so the
+    # combined (part, rank) key fits int32 (~2x the int64 sort)
+    nrows = len(doc_id)
+    row_rank = np.empty(nrows, dtype=np.int64)
+    row_rank[np.argsort(doc_id)] = np.arange(nrows)
+    entry_rank = row_rank[u_local]
+    if num_partitions * nrows < (1 << 31):
+        order = np.argsort(parts.astype(np.int32) * np.int32(nrows) + entry_rank.astype(np.int32))
     else:
-        order = np.argsort(parts.astype(np.int64) * np.int64(nuniq) + u_code)
+        order = np.argsort(parts.astype(np.int64) * np.int64(nrows) + entry_rank)
     p_s = parts[order]
     c_s = u_code[order]
     docs_s = out_doc_ids[order]
@@ -416,19 +434,31 @@ def emit_postings_batch(
     run_starts = np.flatnonzero(run_first)
     run_ends = np.append(run_starts[1:], n_all)
     run_lens = run_ends - run_starts
-    # first occurrence of each (part, code) = one vocab slot per run-term
-    ncf = run_first.copy()
-    ncf[1:] |= c_s[1:] != c_s[:-1]
-    gslot = np.cumsum(ncf) - 1  # global vocab-slot index per entry
-    local_all = gslot - np.repeat(gslot[run_starts], run_lens)
-    vocab_codes = c_s[ncf]  # term code per vocab slot, run-major
-    vocab_run_starts = gslot[run_starts]
-    vocab_run_ends = np.append(vocab_run_starts[1:], len(vocab_codes))
+    # vocab slots: sorted unique (part, code) keys — part-major,
+    # code-ascending within a run, exactly the order the old code-major
+    # boundary walk produced (int32 keys when the space fits: ~2x sort)
+    if num_partitions * nuniq < (1 << 31):
+        slot_keys = parts.astype(np.int32) * np.int32(nuniq) + u_code.astype(np.int32)
+    else:
+        slot_keys = parts.astype(np.int64) * np.int64(nuniq) + u_code
+    uk2 = np.unique(slot_keys)
+    vocab_codes = (uk2 % nuniq).astype(np.int64)  # term code per slot, run-major
+    slot_parts = uk2 // nuniq
+    run_parts = p_s[run_starts]
+    vocab_run_starts = np.searchsorted(slot_parts, run_parts, side="left")
+    vocab_run_ends = np.searchsorted(slot_parts, run_parts, side="right")
+    # local code per entry: global slot rank - its run's first slot
+    entry_slot = np.searchsorted(uk2, slot_keys[order])
+    local_all = entry_slot - np.repeat(vocab_run_starts, run_lens)
     # per-run fixed term width = max byte length of the run's terms
     uniq_s = np.asarray(uniq_np, dtype=np.bytes_)  # one batch-global S array
     vlen = np.char.str_len(uniq_s)[vocab_codes]
     run_sw = np.maximum.reduceat(vlen, vocab_run_starts)
-    run_base = np.minimum.reduceat(docs_s, run_starts)
+
+    run_base = docs_s[run_starts]  # doc-ascending: first == min
+    doc_delta = docs_s.copy()
+    doc_delta[1:] -= docs_s[:-1]
+    doc_delta[run_starts] = 0  # run-start doc == base_doc
 
     cols: dict[str, list] = {k: [] for k in (
         "part", "base_doc", "n", "terms", "sw", "codes", "docs", "tfs", "dls",
@@ -440,7 +470,7 @@ def emit_postings_batch(
     cols["sw"] = run_sw.tolist()
     for i, (s, e) in enumerate(zip(run_starts, run_ends)):
         c_b, cw = _pack_ints(local_all[s:e])
-        d_b, dw = _pack_ints(docs_s[s:e] - run_base[i])
+        d_b, dw = _pack_ints(doc_delta[s:e])
         t_b, tw = _pack_ints(tf_s[s:e])
         l_b, lw = _pack_ints(dl_s[s:e])
         cols["terms"].append(
@@ -563,7 +593,8 @@ def assemble_partition(
         for r, off, sz in zip(runs, vocab_offsets, run_vocab_sizes)
     ])
     doc_ids = np.concatenate([
-        r["base_doc"] + np.frombuffer(r["docs"], dtype=_WIDTH_DTYPE[r["dw"]]).astype(np.int64)
+        r["base_doc"]
+        + np.frombuffer(r["docs"], dtype=_WIDTH_DTYPE[r["dw"]]).astype(np.int64).cumsum()
         for r in runs
     ])
     tfs = np.concatenate([
@@ -757,7 +788,8 @@ def _write_docmap_direct(runs: list[pa.Table], index_dir: str, offsets_ref) -> N
     computed during posting emission)."""
     rows = pa.concat_tables(runs).to_pylist()
     doc_ids = np.concatenate([
-        r["base_doc"] + np.frombuffer(r["docs"], dtype=_WIDTH_DTYPE[r["dw"]]).astype(np.int64)
+        r["base_doc"]
+        + np.frombuffer(r["docs"], dtype=_WIDTH_DTYPE[r["dw"]]).astype(np.int64).cumsum()
         for r in rows
     ])
     dls = np.concatenate([

@@ -219,9 +219,9 @@ class TokenizerSpec:
         data = np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
         if int(data.max()) >= 128:
             return None
-        if self.lowercase:
-            data = _ASCII_LOWER_LUT[data]
-        is_tok = lut[data]
+        # composed class LUT (class-of-lowered-byte) classifies RAW bytes in
+        # one pass; lowering is applied only to the surviving token bytes
+        is_tok = (lut[_ASCII_LOWER_LUT] if self.lowercase else lut)[data]
         n = len(data)
         rel_off = offsets.astype(np.int64) - lo
         # token starts: a token byte not preceded by one, or at a row start
@@ -253,11 +253,12 @@ class TokenizerSpec:
         )
         cum = np.zeros(len(starts) + 1, dtype=np.int64)
         np.cumsum(lengths, out=cum[1:])
-        # gather = arange + ONE repeat of the per-token (start - cumstart)
-        # shift; py_buffer wraps the numpy arrays zero-copy
-        out_bytes = data[
-            np.arange(total, dtype=np.int64) + np.repeat(starts - cum[:-1], lengths)
-        ]
+        # tokens are disjoint ascending byte runs, so their concatenation is
+        # exactly the token-class bytes in buffer order: ONE boolean
+        # compress, no index gather; py_buffer wraps numpy zero-copy
+        out_bytes = data[is_tok]
+        if self.lowercase:
+            out_bytes = _ASCII_LOWER_LUT[out_bytes]
         flat = pa.Array.from_buffers(
             pa.utf8(),
             len(starts),
