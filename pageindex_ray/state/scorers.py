@@ -437,6 +437,7 @@ class RangeScorer:
         self,
         queries: list[tuple[int, list[tuple[str, float]], list[str], list[tuple[str, float]]]],
         k: int,
+        masks: list[tuple[list, list]] | None = None,
     ) -> list:
         """Batch boolean retrieval over this range: each query is
         (qid, score_idfs, must_terms, mustnot_idfs), with must_terms a
@@ -448,7 +449,18 @@ class RangeScorer:
 
         must_not terms ride ``_ensure_terms`` with their TRUE idf so the
         contrib cache stays coherent for later scoring queries — only their
-        ids are read here."""
+        ids are read here.
+
+        ``masks`` (optional, aligned with ``queries``): per-query
+        (include_locals, exclude_locals) — lists of sorted RANGE-LOCAL
+        (0-based) doc-id arrays a candidate must / must not belong to.
+        This is how phrase constraints from the query-string path ride the
+        pool: the driver slices each phrase's global doc set to [lo, hi)
+        per scorer (every doc ships to exactly ONE scorer — the same
+        shape as the where= sidecar masks, just driver-sliced because the
+        phrase sets come from the positional pass, not a sidecar)."""
+        from ..pipelines.attrs import membership_mask
+
         ensure: dict[str, float] = {}
         for _, score_idfs, _, mustnot_idfs in queries:
             ensure.update(score_idfs)
@@ -456,7 +468,7 @@ class RangeScorer:
         arrays = self._ensure_terms(sorted(ensure.items()))
         out = []
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        for _, score_idfs, must_terms, mustnot_idfs in queries:
+        for qi, (_, score_idfs, must_terms, mustnot_idfs) in enumerate(queries):
             acc = self._accumulate(sorted(t for t, _ in score_idfs), arrays)
             if acc is None:
                 out.append(empty)
@@ -464,8 +476,6 @@ class RangeScorer:
             uniq, vals = acc
             keep = np.ones(len(uniq), dtype=bool)
             if len(self._tomb_local):
-                from ..pipelines.attrs import membership_mask
-
                 keep &= ~membership_mask(self._tomb_local, uniq)
             dead = False
             for t in must_terms:
@@ -481,6 +491,12 @@ class RangeScorer:
                 m = self._member_mask(uniq, arrays.get(t, ()))
                 if m is not None:
                     keep &= ~m
+            if masks is not None:
+                inc_l, exc_l = masks[qi]
+                for ids in inc_l:
+                    keep &= membership_mask(np.asarray(ids, dtype=np.int64), uniq)
+                for ids in exc_l:
+                    keep &= ~membership_mask(np.asarray(ids, dtype=np.int64), uniq)
             uniq, vals = uniq[keep], vals[keep]
             if not len(uniq):
                 out.append(empty)
@@ -717,6 +733,24 @@ class RangeScorer:
         return out
 
 
+def scorer_ranges(conv_bases: np.ndarray, n_docs: int, num_scorers: int):
+    """The conv-aligned (lo, hi, row_lo, row_hi) cuts a scorer pool of this
+    size uses — ONE source of truth shared by make_scorer_pool and the
+    driver (which needs the doc bounds to slice per-range phrase masks)."""
+    n_convs = len(conv_bases)
+    num_scorers = max(1, min(num_scorers, n_convs))
+    cut_idx = [(j * n_convs) // num_scorers for j in range(num_scorers + 1)]
+    out = []
+    for j in range(num_scorers):
+        ci, cj = cut_idx[j], cut_idx[j + 1]
+        if ci == cj:
+            continue
+        lo = int(conv_bases[ci])
+        hi = int(conv_bases[cj]) if cj < n_convs else int(conv_bases[0]) + int(n_docs)
+        out.append((lo, hi, ci, cj))
+    return out
+
+
 def make_scorer_pool(shards, index_dir: str, conv_bases: np.ndarray, n_docs: int,
                      num_scorers: int,
                      dense_max_range: int | None = None,
@@ -731,25 +765,16 @@ def make_scorer_pool(shards, index_dir: str, conv_bases: np.ndarray, n_docs: int
     the driver ships two ints per actor, not object arrays. k1/b/avgdl feed
     the per-range WAND traversal (its lazy block decode recomputes factors
     locally). Returns the actor list."""
-    n_convs = len(conv_bases)
-    num_scorers = max(1, min(num_scorers, n_convs))
-    cut_idx = [(j * n_convs) // num_scorers for j in range(num_scorers + 1)]
-    scorers = []
-    for j in range(num_scorers):
-        ci, cj = cut_idx[j], cut_idx[j + 1]
-        if ci == cj:
-            continue
-        lo = int(conv_bases[ci])
-        # conv_bases hold ABSOLUTE doc ids (a wave index starts at doc_base,
-        # not 0): the last range ends at first_base + n_docs, not n_docs —
-        # using the bare count either made the last range negative (crash at
-        # actor init) or silently excluded every doc with id >= n_docs.
-        hi = int(conv_bases[cj]) if cj < n_convs else int(conv_bases[0]) + int(n_docs)
-        scorers.append(
-            RangeScorer.remote(
-                shards, lo, hi, index_dir, ci, cj,
-                dense_max_range, k1, b, avgdl, attrs_dir, tombstones,
-                docvalues_dir,
-            )
+    # conv_bases hold ABSOLUTE doc ids (a wave index starts at doc_base,
+    # not 0): the last range ends at first_base + n_docs, not n_docs —
+    # using the bare count either made the last range negative (crash at
+    # actor init) or silently excluded every doc with id >= n_docs.
+    # (range arithmetic lives in scorer_ranges, shared with the driver)
+    return [
+        RangeScorer.remote(
+            shards, lo, hi, index_dir, ci, cj,
+            dense_max_range, k1, b, avgdl, attrs_dir, tombstones,
+            docvalues_dir,
         )
-    return scorers
+        for lo, hi, ci, cj in scorer_ranges(conv_bases, n_docs, num_scorers)
+    ]
