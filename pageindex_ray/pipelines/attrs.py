@@ -62,17 +62,11 @@ def _attr_rows(batch: pa.Table, offsets_ref, columns: tuple[str, ...]) -> pa.Tab
     docmap stage uses (stages/docmap.py:185-208): offsets put once on the
     driver, built once per worker process.
     """
-    from ..stages.postings import cached_conv_bases, cached_conv_lookup
+    from ..stages.postings import cached_conv_bases, conv_bases_for_batch
 
     turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-    lookup = cached_conv_lookup(offsets_ref)
-    if lookup is not None:
-        sarr, bases = lookup
-        conv_s = np.asarray(
-            batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=sarr.dtype
-        )
-        base = bases[np.searchsorted(sarr, conv_s)]
-    else:
+    base = conv_bases_for_batch(offsets_ref, batch.column("conv_id"))
+    if base is None:  # non-ASCII conv ids: per-row dict lookups
         base_by_conv = cached_conv_bases(offsets_ref)
         conv = batch.column("conv_id").to_pylist()
         base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))

@@ -190,18 +190,11 @@ def docmap_batch(batch: pa.Table, offsets_ref, tokenizer="alnum-lower-v1") -> pa
     stages.postings — SURVEY.md §2.5 J1), reused by every task the worker
     runs. Tasks, not an actor pool: no spin-up ramp at stage head.
     """
-    from .postings import cached_conv_bases, cached_conv_lookup
+    from .postings import cached_conv_bases, conv_bases_for_batch
 
     turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-    lookup = cached_conv_lookup(offsets_ref)
-    if lookup is not None:
-        # same vectorized S-dtype searchsorted as the emit hot path
-        sarr, bases = lookup
-        conv_s = np.asarray(
-            batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=sarr.dtype
-        )
-        base = bases[np.searchsorted(sarr, conv_s)]
-    else:  # non-ASCII conv ids: per-row dict lookups
+    base = conv_bases_for_batch(offsets_ref, batch.column("conv_id"))
+    if base is None:  # non-ASCII conv ids: per-row dict lookups
         base_by_conv = cached_conv_bases(offsets_ref)
         conv = batch.column("conv_id").to_pylist()
         base = np.fromiter((base_by_conv[c] for c in conv), dtype=np.int64, count=len(conv))
