@@ -176,6 +176,26 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--out", required=True)
 
+    rf = sub.add_parser(
+        "refresh",
+        help="continuous-ingest loop: init / append micro-waves / delete / "
+        "compact under an atomic current-generation pointer (pipelines/refresh.py)",
+    )
+    rf.add_argument("--root", required=True, help="refresh root (holds gen-* + current.json)")
+    rf.add_argument("--init", metavar="PARQUET", help="seed corpus: build generation 0")
+    rf.add_argument(
+        "--append", nargs="+", default=[], metavar="PARQUET",
+        help="micro-wave(s) to append, in order",
+    )
+    rf.add_argument("--delete", nargs="+", type=int, default=[], metavar="DOC_ID",
+                    help="tombstone doc ids on the live generation")
+    rf.add_argument("--compact", action="store_true", help="compact the live generation")
+    rf.add_argument("--status", action="store_true", help="print the live status")
+    rf.add_argument(
+        "--auto-compact-every", type=int, default=0, metavar="N",
+        help="compact after every N appends (0 = only on --compact / deleted-fraction)",
+    )
+
     q = sub.add_parser("bench-queries", help="p50 latency over a query parquet")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True)
@@ -263,6 +283,26 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.compact import compact_index
 
             print(json.dumps(compact_index(args.index, args.out)))
+        elif args.cmd == "refresh":
+            from .pipelines.refresh import RefreshRunner
+
+            r = RefreshRunner(args.root, auto_compact_every=args.auto_compact_every)
+            out = []
+            if args.init:
+                out.append({"init": r.init(args.init)["pointer"]})
+            for w in args.append:
+                step = r.append(w)
+                out.append({"append": step["pointer"], "pruned": step["pruned"],
+                            **({"compaction": step["compaction"]["pointer"]}
+                               if "compaction" in step else {})})
+            if args.delete:
+                out.append({"delete": len(args.delete), "result": "ok"})
+                r.delete(args.delete)
+            if args.compact:
+                out.append({"compact": r.compact()["pointer"]})
+            if args.status or not out:
+                out.append({"status": r.status()})
+            print(json.dumps(out))
         elif args.cmd == "positions":
             from .pipelines.positions import build_positions
 

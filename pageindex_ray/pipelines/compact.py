@@ -59,12 +59,16 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         raise ValueError("compaction writes a NEW index; out_dir must differ from index_dir")
     t0 = time.perf_counter()
     meta = load_meta(index_dir)
-    if meta.get("n_docs_live") is not None:
-        raise ValueError(
-            "index is already compacted (sparse doc space); re-compaction "
-            "requires fresh tombstones on the compacted index"
-        )
     tombs = load_tombstones(index_dir, expected_fingerprint=meta["fingerprint"])
+    # re-compaction of an already-sparse index is legal with FRESH
+    # tombstones (the refresh loop's delete->compact->delete->compact
+    # lifecycle); without any it would be a pointless identical rewrite
+    n_prev_live = int(meta.get("n_docs_live", meta["n_docs"]))
+    if meta.get("n_docs_live") is not None and not len(tombs):
+        raise ValueError(
+            "index is already compacted and has no fresh tombstones — "
+            "nothing to expunge"
+        )
     cfg = BuildConfig(**meta["config"])
 
     # live stats from the docmap: one pruned (doc_id, doc_len) read
@@ -76,7 +80,10 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     dl = dm.column("doc_len").to_numpy().astype(np.int64)
     ids = dm.column("doc_id").to_numpy().astype(np.int64)
     dead = membership_mask(tombs, ids)
-    n_live = int(meta["n_docs"]) - int(len(tombs))
+    # count deletions via docmap membership, not len(tombs): a tombstone id
+    # already expunged by a prior compaction must not double-count
+    n_live = n_prev_live - int(dead.sum())
+    # meta["total_tokens"] is already the LIVE total on a compacted index
     total_tokens_live = int(meta["total_tokens"]) - int(dl[dead].sum())
     avgdl_live = total_tokens_live / n_live if n_live else 0.0
     hot_terms = sorted(meta.get("hot_terms", []))
@@ -181,7 +188,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         "hot_terms": hot_terms,
         "config": meta["config"],
         "compacted_from": index_dir,
-        "n_expunged": int(len(tombs)),
+        "n_expunged": int(dead.sum()),
     }
     tmp = os.path.join(out_dir, ".meta.json.tmp")
     with open(tmp, "w") as f:
@@ -191,7 +198,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         f.write("ok\n")
     return {
         "n_docs_live": n_live,
-        "n_expunged": int(len(tombs)),
+        "n_expunged": int(dead.sum()),
         "avgdl": avgdl_live,
         "n_postings": int(report["n_postings"].sum()),
         "wall_s": time.perf_counter() - t0,

@@ -74,11 +74,17 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
             )
     t0 = time.perf_counter()
     metas = [_load(d) for d in index_dirs]
+    # compacted (sparse) inputs ARE mergeable — extents stay contiguous and
+    # the stats below sum LIVE counts — but PENDING tombstones are not: the
+    # merged index carries no tombstone sidecar, so merging one would
+    # silently resurrect its deleted docs (refresh loop: compact first)
+    from .tombstones import load_tombstones
+
     for d, m in zip(index_dirs, metas):
-        if m.get("n_docs_live") is not None:
+        if len(load_tombstones(d, expected_fingerprint=m["fingerprint"])):
             raise ValueError(
-                f"wave {d} is a compacted index (sparse doc-id space); merge "
-                "supports dense waves only — compact after merging instead"
+                f"wave {d} has pending tombstones; compact it before merging "
+                "(merge would silently resurrect its deleted docs)"
             )
     order = np.argsort([m.get("doc_base", 0) for m in metas])
     dirs = [index_dirs[i] for i in order]
@@ -112,13 +118,15 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                 f"{dirs[i + 1]} starts at {first!r}"
             )
 
-    n_docs = sum(m["n_docs"] for m in metas)
+    n_docs = sum(m["n_docs"] for m in metas)  # doc-id-space EXTENT
+    n_live = sum(int(m.get("n_docs_live", m["n_docs"])) for m in metas)
     doc_base = metas[0].get("doc_base", 0)
+    # each meta's total_tokens is its LIVE total (compaction rewrites it)
     total_tokens = sum(m["total_tokens"] for m in metas)
-    avgdl = total_tokens / n_docs if n_docs else 0.0
+    avgdl = total_tokens / n_live if n_live else 0.0
     cfg = BuildConfig(**head)
     hot_terms = sorted(set().union(*(set(m.get("hot_terms", [])) for m in metas)))
-    fingerprint = stats_fingerprint(n_docs, avgdl, cfg, hot_terms)
+    fingerprint = stats_fingerprint(n_live, avgdl, cfg, hot_terms)
     k1, b = cfg.k1, cfg.b
 
     os.makedirs(os.path.join(out_dir, "postings"), exist_ok=True)
@@ -304,6 +312,9 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
         "hot_terms": hot_terms,
         "config": head,
         "merged_from": dirs,
+        # sparse when any input wave was compacted: live count for idf/avgdl,
+        # extent stays n_docs (scorer ranges / dense accumulators size off it)
+        **({"n_docs_live": n_live} if n_live != n_docs else {}),
     }
     tmp = os.path.join(out_dir, ".meta.json.tmp")
     with open(tmp, "w") as f:

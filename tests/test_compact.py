@@ -133,7 +133,21 @@ def test_compaction_guards(ray_session, compacted, built_index, tmp_path):
 
     with pytest.raises(ValueError, match="NEW index"):
         compact_index(compacted["out"], compacted["out"])
-    with pytest.raises(ValueError, match="already compacted"):
+    # round 5: re-compaction is legal WITH fresh tombstones (refresh loop);
+    # without any it is a pointless rewrite and still refuses
+    with pytest.raises(ValueError, match="no fresh tombstones"):
         compact_index(compacted["out"], str(tmp_path / "again"))
-    with pytest.raises(ValueError, match="dense waves only"):
+    # round 5: compacted inputs merge fine; PENDING tombstones are what's
+    # rejected (merge carries no sidecar and would resurrect deletes)
+    from pageindex_ray.pipelines.tombstones import add_tombstones
+
+    import numpy as np
+
+    live_doc = int(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_table(
+            compacted["out"] + "/docmap"
+        ).column("doc_id")[0].as_py()
+    )
+    add_tombstones(compacted["out"], np.asarray([live_doc]))
+    with pytest.raises(ValueError, match="pending tombstones"):
         merge_indexes([compacted["out"]], str(tmp_path / "m"))

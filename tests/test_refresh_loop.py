@@ -1,0 +1,170 @@
+"""The continuous-ingest refresh loop (pipelines/refresh.py): generational
+appends + tombstones + compaction under an atomic pointer, rank-identical
+to a monolithic rebuild at every step."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+
+def _slices(tpath, tmp_path, n=4):
+    t = pq.read_table(tpath)
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    cuts = [convs[(i * len(convs)) // n] for i in range(1, n)]
+    parts = []
+    bounds = [None, *cuts, None]
+    for i in range(n):
+        lo, hi = bounds[i], bounds[i + 1]
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(t.column("conv_id"), lo)
+        if hi is not None:
+            m2 = pc.less(t.column("conv_id"), hi)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        p = str(tmp_path / f"q{i}.parquet")
+        pq.write_table(t.filter(mask) if mask is not None else t, p)
+        parts.append(p)
+    # cumulative corpora for the monolithic twins
+    cums = []
+    for i in range(1, n + 1):
+        p = str(tmp_path / f"cum{i}.parquet")
+        mask = pc.less(t.column("conv_id"), bounds[i]) if bounds[i] is not None else None
+        pq.write_table(t.filter(mask) if mask is not None else t, p)
+        cums.append(p)
+    return parts, cums
+
+
+def _search(idx, queries, k=10):
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    eng = SearchEngine(idx, num_shards=2)
+    try:
+        return eng.search_batch(queries, k=k)
+    finally:
+        eng.shutdown()
+
+
+def test_refresh_loop_three_waves_plus_compaction(ray_session, tiny_corpus, tmp_path):
+    """init + 3 appended micro-waves + tombstones + 1 compaction, each step
+    rank-identical to a monolithic build over the same live corpus; the
+    pointer always names a committed generation and old generations prune."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index, load_meta
+    from pageindex_ray.pipelines.compact import compact_index
+    from pageindex_ray.pipelines.refresh import RefreshRunner, current_index
+    from pageindex_ray.pipelines.tombstones import add_tombstones
+
+    waves, cums = _slices(tiny_corpus["transcripts"], tmp_path, n=5)
+    qs = pq.read_table(tiny_corpus["queries"])
+    queries = list(zip(qs.column("query_id").to_pylist(), qs.column("text").to_pylist()))
+    cfg = BuildConfig(num_partitions=4)
+
+    root = str(tmp_path / "root")
+    r = RefreshRunner(root, cfg=cfg, keep_generations=2)
+    r.init(waves[0])
+    assert os.path.exists(os.path.join(current_index(root), "_SUCCESS"))
+
+    for step in range(1, 4):  # three appended micro-waves
+        r.append(waves[step])
+        live = current_index(root)
+        assert os.path.exists(os.path.join(live, "_SUCCESS"))
+        mono = str(tmp_path / f"mono{step}")
+        build_index(cums[step], mono, cfg)
+        a = _search(live, queries)
+        b = _search(mono, queries)
+        assert a.equals(b), f"step {step} diverged from monolithic rebuild"
+        assert a.num_rows > 0
+
+    # old generations beyond keep_generations are pruned; wave dirs removed
+    gens = [d for d in os.listdir(root) if d.startswith("gen-") and "." not in d]
+    assert len(gens) <= 2
+    assert not [d for d in os.listdir(root) if d.endswith(".wave")]
+
+    # tombstone + compact == monolithic build + same deletes + compact
+    n_docs = load_meta(current_index(root))["n_docs"]
+    deleted = np.arange(0, n_docs, 7)
+    r.delete(deleted)
+    before = json.loads(json.dumps(r.status()))
+    assert before["deleted_fraction"] > 0
+    r.compact()
+    after = r.status()
+    assert after["pointer"]["kind"] == "compact"
+    assert after["deleted_fraction"] == 0
+
+    mono = str(tmp_path / "monoD")
+    build_index(cums[3], mono, cfg)
+    add_tombstones(mono, deleted)
+    mono_c = str(tmp_path / "monoDC")
+    compact_index(mono, mono_c)
+    a = _search(current_index(root), queries)
+    b = _search(mono_c, queries)
+    assert a.equals(b)
+    assert a.num_rows > 0
+
+    # the loop CONTINUES past a compaction: appending onto the sparse
+    # compacted index must equal a monolithic build over the full corpus
+    # with the same deletes, compacted (round 5: merge accepts compacted
+    # inputs; re-compaction legal with fresh tombstones)
+    r.append(waves[4])
+    mono5 = str(tmp_path / "mono5")
+    build_index(cums[4], mono5, cfg)
+    add_tombstones(mono5, deleted)
+    mono5_c = str(tmp_path / "mono5C")
+    compact_index(mono5, mono5_c)
+    a = _search(current_index(root), queries)
+    b = _search(mono5_c, queries)
+    assert a.equals(b)
+
+    # and a SECOND delete->compact cycle on the sparse lineage still matches
+    n_ext = load_meta(current_index(root))["n_docs"]
+    deleted2 = np.arange(1, n_ext, 11)
+    deleted2 = np.setdiff1d(deleted2, deleted)
+    r.delete(deleted2)
+    r.compact()
+    add_tombstones(mono5_c, deleted2)
+    mono5_cc = str(tmp_path / "mono5CC")
+    compact_index(mono5_c, mono5_cc)
+    a = _search(current_index(root), queries)
+    b = _search(mono5_cc, queries)
+    assert a.equals(b)
+    assert a.num_rows > 0
+
+
+def test_refresh_auto_compact_policy(ray_session, tiny_corpus, tmp_path):
+    """auto_compact_every fires a compaction on schedule and resets the
+    counter; deleted-fraction overflow also triggers one."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import load_meta
+    from pageindex_ray.pipelines.refresh import RefreshRunner, current_index
+
+    waves, _ = _slices(tiny_corpus["transcripts"], tmp_path)
+    root = str(tmp_path / "root2")
+    r = RefreshRunner(root, cfg=BuildConfig(num_partitions=4), auto_compact_every=2)
+    r.init(waves[0])
+    out1 = r.append(waves[1])
+    assert "compaction" not in out1
+    out2 = r.append(waves[2])
+    # nothing tombstoned -> the scheduled compaction is a SKIP, not a rewrite
+    assert out2["compaction"].get("skipped") == "no tombstones"
+
+    # deleted-fraction trigger
+    n = load_meta(current_index(root))["n_docs"]
+    res = r.delete(np.arange(0, n, 3))  # ~33% > default 25% threshold
+    assert "compaction" in res
+    assert r.status()["deleted_fraction"] == 0
+
+
+def test_refresh_init_twice_rejected(ray_session, tiny_corpus, tmp_path):
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.refresh import RefreshRunner
+
+    waves, _ = _slices(tiny_corpus["transcripts"], tmp_path)
+    root = str(tmp_path / "root3")
+    r = RefreshRunner(root, cfg=BuildConfig(num_partitions=4))
+    r.init(waves[0])
+    with pytest.raises(ValueError, match="already initialized"):
+        r.init(waves[0])
