@@ -662,6 +662,61 @@ def _q_index_refresh(sf_dir: str):
         eng.shutdown()
 
 
+def _q_refresh_loop(sf_dir: str):
+    """The round-5 continuous-ingest scheduler (pipelines/refresh.py) under
+    the driver gate: RefreshRunner init + TWO appended micro-waves +
+    tombstones + compact, all through the generational pointer (atomic
+    current.json flips, pruning, crash-safe .wave checkpoints) — then the
+    query set runs on whatever generation the pointer names. Twin: the same
+    monolithic surviving-corpus SQL as bm25_compacted_topk / index_refresh,
+    so a green row proves the LOOP (not just one append) equals a full
+    rebuild."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import load_meta
+    from pageindex_ray.pipelines.refresh import RefreshRunner, current_index
+    from pageindex_ray.pipelines.search import SearchEngine
+
+    tpath, _ = ensure_corpus(sf_dir)
+    root = os.path.join(
+        "/tmp/pageindex_ray_refresh_loop", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    t = pq.read_table(tpath, columns=["conv_id", "turn_idx", "text"])
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    cuts = [convs[len(convs) // 3], convs[(2 * len(convs)) // 3]]
+    waves = []
+    bounds = [None, *cuts, None]
+    for i in range(3):
+        mask = None
+        if bounds[i] is not None:
+            mask = pc.greater_equal(t.column("conv_id"), bounds[i])
+        if bounds[i + 1] is not None:
+            m2 = pc.less(t.column("conv_id"), bounds[i + 1])
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        p = os.path.join(root, f"wave{i}.parquet")
+        pq.write_table(t.filter(mask) if mask is not None else t, p)
+        waves.append(p)
+    r = RefreshRunner(root, cfg=BuildConfig(num_partitions=16))
+    r.init(waves[0])
+    r.append(waves[1])
+    r.append(waves[2])
+    r.delete(np.arange(0, load_meta(current_index(root))["n_docs"], 7))
+    r.compact()
+    eng = SearchEngine(current_index(root), num_shards=8)
+    try:
+        out = eng.search_batch(_load_queries(sf_dir), k=10)
+        return out.select(["query_id", "rank", "doc_id"])
+    finally:
+        eng.shutdown()
+
+
 def _q_bm25_tree_topk(sf_dir: str):
     """Two-level nested hierarchy rollup (state/rollup.py — the configurable
     generalization of the turn/segment/conv ladder; the reference's tree
@@ -1165,16 +1220,47 @@ def _q_more_like_this(sf_dir: str):
         eng.shutdown()
 
 
+# Round-5 gate rotation (the driver records the FIRST 50 queries() entries):
+# the 20 entries whose last hard row was round 3 re-earn fresh rows, the new
+# round-5 capability (refresh_loop) is gated, and the remaining slots go to
+# entries whose CODE changed this round (emit wire format + tokenizer fast
+# path -> every index-building entry; scorer_ranges/boolean-mask -> the
+# query-language family; the conv_salient_summary rewrite; the dataset_split
+# twin; minhash auto-closure; ANN distributed reduce). Entries unchanged
+# this round with an r4-green row rotate to the tail; the in-repo mirror
+# (tests/test_driver_contract.py) still value-checks ALL entries.
+_GATE_ORDER = [
+    # -- tail-20 from r4 (last hard row: round 3) ------------------------
+    "bm25_wand_topk", "bm25_page2", "bm25_boosted_topk", "bm25_conv_max_topk",
+    "sorted_search", "suggest", "prefix_search", "regex_search", "fuzzy_search",
+    "doc_tokens_bpe", "doc_fingerprint", "multimodal_frames", "multimodal_resize",
+    "multimodal_ppm", "bm25_tombstoned_topk", "bm25_compacted_topk", "doc_langid",
+    "events_by_type", "top_revenue_orders", "dedup_minhash_cc",
+    # -- new in round 5 ---------------------------------------------------
+    "refresh_loop",
+    # -- r4-green entries whose code paths changed in round 5 -------------
+    "docmap", "corpus_stats", "term_stats", "bm25_topk", "lm_topk", "rrf_topk",
+    "bm25_conv_topk", "bm25_segment_topk", "bm25_tree_topk", "bool_search",
+    "bm25_filtered_topk", "facet_counts", "phrase_search", "phrase_search_pos",
+    "proximity_search", "span_near", "query_string", "more_like_this",
+    "snippets", "search_export", "index_refresh", "conv_salient_summary",
+    "dataset_split", "dedup_minhash", "ann_topk", "ann_ivf",
+    "conv_summaries_model", "corpus_curation", "events_sessions",
+    # ==================== first-50 boundary ==============================
+    "collocations", "date_histogram", "field_stats", "role_stats",
+    "doc_tokens", "doc_tokens_bpe2", "doc_quality", "dedup_exact",
+    "dedup_simhash", "dedup_jaccard", "embedding_near_dup",
+    "embedding_near_dup_lsh", "multimodal_meta", "multimodal_wav",
+    "q1_pricing", "customer_rollup", "events_tumbling", "event_type_mode",
+    "parts_by_brand", "conv_text_fingerprint", "conv_summaries",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Dict ORDER is deliberate (the driver gate records the first 50
-    entries): every entry that has never had a driver CORRECTNESS row — the
-    round-4 additions (bm25_tree_topk, index_refresh, conv_summaries_model),
-    the positional/query-language family (r3's top residual gap), and the
-    entries last gated in round 2 — sits in the first 50; entries green in
-    the round-3 artifact rotate to the tail (their hard signal is already
-    recorded). Every entry, both halves, is also value-checked against its
-    DuckDB twin by tests/test_driver_contract.py each session."""
-    return {
+    """Dict ORDER is deliberate — see _GATE_ORDER. Every entry, both halves
+    of the order, is also value-checked against its DuckDB twin by
+    tests/test_driver_contract.py each session."""
+    d = {
         # --- core build + retrieval (r3-green core, kept as anchors) -------
         "docmap": _q_docmap,
         "corpus_stats": _q_corpus_stats,
@@ -1203,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_stats": _q_field_stats,
         # --- lifecycle ------------------------------------------------------
         "index_refresh": _q_index_refresh,
+        "refresh_loop": _q_refresh_loop,
         # --- text analysis ---------------------------------------------------
         "role_stats": _q_role_stats,
         "doc_tokens": _q_doc_tokens,
@@ -1256,6 +1343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_orders,
         "dedup_minhash_cc": _q_dedup_minhash_cc,
     }
+    assert set(d) == set(_GATE_ORDER), (
+        sorted(set(d) ^ set(_GATE_ORDER))
+    )  # drift between the dict and the gate order is a bug, not a reorder
+    return {k: d[k] for k in _GATE_ORDER}
 
 
 # ---------------------------------------------------------------------------
@@ -1365,6 +1456,9 @@ def oracle_sql() -> dict[str, str]:
     # must answer exactly like a monolithic rebuild of the surviving corpus
     # — the same twin the compacted entry checks against
     sqls["index_refresh"] = sqls["bm25_compacted_topk"]
+    # the refresh LOOP (generational init+append+append+delete+compact via
+    # the pointer) must also equal the monolithic surviving-corpus rebuild
+    sqls["refresh_loop"] = sqls["bm25_compacted_topk"]
     return sqls
 
 

@@ -83,6 +83,7 @@ def _oracle_names():
     "span_near", "proximity_search", "query_string", "phrase_search_pos", "bm25_boosted_topk",
     "search_export", "collocations", "sorted_search", "date_histogram", "field_stats",
     "bm25_tree_topk", "index_refresh", "conv_summaries_model", "dataset_split",
+    "refresh_loop",
 ])
 def test_query_matches_oracle(ray_session, contract, con, name):
     sqls = contract.oracle_sql()
