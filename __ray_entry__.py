@@ -1343,9 +1343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_orders,
         "dedup_minhash_cc": _q_dedup_minhash_cc,
     }
-    assert set(d) == set(_GATE_ORDER), (
-        sorted(set(d) ^ set(_GATE_ORDER))
-    )  # drift between the dict and the gate order is a bug, not a reorder
+    if set(d) != set(_GATE_ORDER):  # explicit raise: survives python -O
+        raise RuntimeError(
+            f"queries() dict and _GATE_ORDER drifted: {sorted(set(d) ^ set(_GATE_ORDER))}"
+        )
     return {k: d[k] for k in _GATE_ORDER}
 
 

@@ -296,8 +296,14 @@ def main(argv: list[str] | None = None) -> int:
                             **({"compaction": step["compaction"]["pointer"]}
                                if "compaction" in step else {})})
             if args.delete:
-                out.append({"delete": len(args.delete), "result": "ok"})
-                r.delete(args.delete)
+                res = r.delete(args.delete)
+                entry = {"delete": len(args.delete)}
+                if isinstance(res, dict) and "compaction" in res:
+                    # a deleted-fraction-triggered compaction flipped the
+                    # pointer — operators scripting against this JSON must
+                    # see the new live generation
+                    entry["compaction"] = res["compaction"]["pointer"]
+                out.append(entry)
             if args.compact:
                 out.append({"compact": r.compact()["pointer"]})
             if args.status or not out:

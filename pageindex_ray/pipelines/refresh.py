@@ -109,7 +109,9 @@ class RefreshRunner:
         self.cfg = cfg
         self.auto_compact_every = int(auto_compact_every)
         self.auto_compact_deleted = float(auto_compact_deleted)
-        self.keep_generations = max(1, int(keep_generations))
+        # floor of 2: the pointer's previous target must survive one step so
+        # in-flight readers that resolved it just before a flip finish safely
+        self.keep_generations = max(2, int(keep_generations))
         self._appends_since_compact = 0
         os.makedirs(root, exist_ok=True)
 
@@ -130,9 +132,18 @@ class RefreshRunner:
 
     def append(self, wave_path) -> dict:
         """Append one micro-wave (conversations sorting strictly after the
-        live index's) as a new generation, flip, prune, maybe auto-compact."""
+        live index's) as a new generation, flip, prune, maybe auto-compact.
+
+        Pending tombstones on the live generation are compacted away FIRST
+        (merge refuses tombstoned inputs — it would silently resurrect the
+        deletes), so delete-then-append always works and never wastes the
+        wave build on a doomed merge; the compaction is reported under
+        ``pre_compaction``."""
         from .merge import append_wave
 
+        result_pre = None
+        if self._deleted_fraction() > 0.0:
+            result_pre = self.compact()
         ptr = _load_pointer(self.root)
         gen = ptr["generation"] + 1
         out = os.path.join(self.root, _gen_name(gen))
@@ -142,6 +153,8 @@ class RefreshRunner:
         removed = _prune(self.root, gen, self.keep_generations)
         self._appends_since_compact += 1
         result = {"pointer": new_ptr, "report": report, "pruned": removed}
+        if result_pre is not None:
+            result["pre_compaction"] = result_pre
         if (
             self.auto_compact_every
             and self._appends_since_compact >= self.auto_compact_every

@@ -234,6 +234,11 @@ class WindowedConvLookup:
         idx = (uw[:, None] * k + np.arange(k, dtype=np.int64)[None, :]).ravel()
         np.clip(idx, 0, self.n - 1, out=idx)  # tail pad repeats the max id
         gathered = s_array_from_arrow(self.ids.take(pa.array(idx)))
+        if gathered is None:
+            # a NON-pivot id in a touched window is non-ASCII (the pivots
+            # alone can't prove the table ASCII): signal the caller to fall
+            # back to the full/dict path instead of crashing the task
+            return None
         if gathered.dtype.itemsize != width:
             gathered = gathered.astype(f"S{width}")
         elif conv_s.dtype.itemsize != gathered.dtype.itemsize:
@@ -264,7 +269,13 @@ def conv_bases_for_batch(offsets_ref, conv_col) -> np.ndarray | None:
             conv_s = np.asarray(conv_col.to_numpy(zero_copy_only=False), dtype=np.bytes_)
         except UnicodeEncodeError:
             return None
-        return wlk.bases_for(conv_s)
+        out = wlk.bases_for(conv_s)
+        if out is not None:
+            return out
+        # non-ASCII id inside a window: disable the windowed path for this
+        # table generation and fall through to the full lookup (which
+        # ASCII-checks the whole table and itself falls back to the dict)
+        _BROADCAST_CACHE[key] = None
     lookup = cached_conv_lookup(offsets_ref)
     if lookup is None:
         return None
@@ -708,6 +719,7 @@ def assemble_partition(
     df_arr = tcounts.astype(np.int64)
     tf_cum = np.concatenate([[0], np.cumsum(tfs)])
     cf_arr = tf_cum[tbounds[1:]] - tf_cum[tbounds[:-1]]
+    _tick("v_stats")
 
     # ---- fully vectorized block layout over the whole partition ----------
     pos_in_term = np.arange(n) - np.repeat(tstarts, tcounts)
@@ -724,6 +736,7 @@ def assemble_partition(
     dl_f = dls.astype(np.float64)
     factors = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
     max_factors = np.maximum.reduceat(factors, bstarts)
+    _tick("v_layout")
 
     # one varint encode per payload kind for the WHOLE partition, then slice
     deltas_all = np.diff(doc_ids, prepend=np.int64(0))  # invalid at block starts (unused there)

@@ -112,12 +112,9 @@ def _token_byte_lut(token_pattern: str):
     lut = np.zeros(256, dtype=bool)
     j = 0
     while j < len(items):
-        if (
-            j + 2 < len(items)
-            and items[j + 1] == ("-", False)
-            and not items[j][1]
-            and not items[j + 2][1]
-        ):
+        # a range needs an UNESCAPED dash in the middle; the endpoints may
+        # themselves be escaped chars (re treats [\t-z] as the range 9..122)
+        if j + 2 < len(items) and items[j + 1] == ("-", False):
             lo, hi = ord(items[j][0]), ord(items[j + 2][0])
             if lo > hi or hi > 127:
                 return None

@@ -221,3 +221,37 @@ def test_build_identical_under_forced_windowed_lookup(ray_session, tmp_path):
     ta = pq.read_table(os.path.join(a, "docmap"))
     tb = pq.read_table(os.path.join(b, "docmap"))
     assert ta.equals(tb)
+
+
+def test_windowed_lookup_falls_back_on_hidden_non_ascii(tmp_path):
+    """A non-ASCII conv id at a NON-pivot position must not crash the
+    windowed path: bases_for signals the caller, conv_bases_for_batch falls
+    through to the full lookup / dict fallback (code-review r5 finding)."""
+    import numpy as np
+    import pyarrow as pa
+    import unittest.mock as mock
+
+    from pageindex_ray.stages import postings as P
+    from pageindex_ray.state.convtable import write_arrow_sidecar
+
+    ids = sorted(f"c{i:04d}" for i in range(200))
+    ids[65] = "c0065é"  # non-pivot (window=64: pivots at 0, 64, 128, 192)
+    ids = sorted(ids)
+    bases = np.arange(200, dtype=np.int64) * 10
+    tbl = pa.table({"conv_id": pa.array(ids, type=pa.string()),
+                    "base": pa.array(bases, type=pa.int64())})
+    d = str(tmp_path / "idxna")
+    os.makedirs(d)
+    path = write_arrow_sidecar(tbl, d)
+    ref = {"offsets_path": path}
+
+    probe_ids = [ids[3], ids[70], ids[199]]
+    conv_col = pa.array(probe_ids, type=pa.string())
+    with mock.patch.object(P, "CONV_LOOKUP_FULL_MAX", 10):
+        P._BROADCAST_CACHE.clear()
+        out = P.conv_bases_for_batch(ref, conv_col)
+    want = [bases[ids.index(p)] for p in probe_ids]
+    if out is None:  # dict fallback path is the caller's job
+        base_by_conv = P.cached_conv_bases(ref)
+        out = [base_by_conv[p] for p in probe_ids]
+    assert list(out) == want

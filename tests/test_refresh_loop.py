@@ -168,3 +168,40 @@ def test_refresh_init_twice_rejected(ray_session, tiny_corpus, tmp_path):
     r.init(waves[0])
     with pytest.raises(ValueError, match="already initialized"):
         r.init(waves[0])
+
+
+def test_append_after_subthreshold_delete_compacts_first(ray_session, tiny_corpus, tmp_path):
+    """A small delete (below the auto-compact fraction) followed by an
+    append must WORK: append() compacts the pending tombstones away first
+    (merge refuses tombstoned inputs) and reports it as pre_compaction;
+    the result equals a monolithic build over the surviving + new corpus."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.build import build_index, load_meta
+    from pageindex_ray.pipelines.compact import compact_index
+    from pageindex_ray.pipelines.refresh import RefreshRunner, current_index
+    from pageindex_ray.pipelines.tombstones import add_tombstones
+
+    waves, cums = _slices(tiny_corpus["transcripts"], tmp_path, n=3)
+    qs = pq.read_table(tiny_corpus["queries"])
+    queries = list(zip(qs.column("query_id").to_pylist(), qs.column("text").to_pylist()))
+    cfg = BuildConfig(num_partitions=4)
+
+    root = str(tmp_path / "rootd")
+    r = RefreshRunner(root, cfg=cfg)
+    r.init(waves[0])
+    r.append(waves[1])
+    n = load_meta(current_index(root))["n_docs"]
+    deleted = np.asarray([1, 2, 3], dtype=np.int64)  # ~0% — no auto compact
+    r.delete(deleted)
+    out = r.append(waves[2])  # must not raise, must pre-compact
+    assert out["pre_compaction"]["pointer"]["kind"] == "compact"
+
+    mono = str(tmp_path / "monoPD")
+    build_index(cums[2], mono, cfg)
+    add_tombstones(mono, deleted)
+    mono_c = str(tmp_path / "monoPDC")
+    compact_index(mono, mono_c)
+    a = _search(current_index(root), queries)
+    b = _search(mono_c, queries)
+    assert a.equals(b)
+    assert a.num_rows > 0
