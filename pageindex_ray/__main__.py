@@ -455,6 +455,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             eng.shutdown()
+    except ValueError as e:
+        # user-input errors (bad scale dir, uninitialized/already-initialized
+        # refresh root, contract violations) get a clean one-line message
+        # instead of a traceback; unexpected failures still propagate raw
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     finally:
         if owns_ray:
             ray.shutdown()

@@ -62,14 +62,18 @@ def _write_pointer(root: str, gen: int, kind: str) -> dict:
 
 def current_index(root: str) -> str:
     """Absolute path of the live index (raises if the root is uninitialized)."""
-    with open(_pointer_path(root)) as f:
-        ptr = json.load(f)
-    return os.path.join(root, ptr["index"])
+    return os.path.join(root, _load_pointer(root)["index"])
 
 
 def _load_pointer(root: str) -> dict:
-    with open(_pointer_path(root)) as f:
-        return json.load(f)
+    try:
+        with open(_pointer_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"refresh root {root!r} is not initialized (no {POINTER_NAME}); "
+            "run init (CLI: refresh --root ... --init SEED.parquet) first"
+        ) from None
 
 
 def _prune(root: str, live_gen: int, keep_generations: int) -> list[str]:
@@ -215,7 +219,12 @@ class RefreshRunner:
         return {
             "pointer": ptr,
             "index_dir": idx,
+            # n_docs is the doc-ID-SPACE extent (stable across compactions so
+            # external doc_id references never dangle); n_docs_live is what an
+            # operator means by "how many documents" — post-compaction they
+            # differ by the expunged count
             "n_docs": int(meta["n_docs"]),
+            "n_docs_live": int(meta.get("n_docs_live", meta["n_docs"])),
             "deleted_fraction": round(self._deleted_fraction(), 6),
             "generations_on_disk": sorted(
                 d for d in os.listdir(self.root) if d.startswith("gen-") and "." not in d

@@ -94,6 +94,9 @@ def test_refresh_loop_three_waves_plus_compaction(ray_session, tiny_corpus, tmp_
     after = r.status()
     assert after["pointer"]["kind"] == "compact"
     assert after["deleted_fraction"] == 0
+    # n_docs stays the id-space extent; n_docs_live drops by the expunged count
+    assert after["n_docs"] == n_docs
+    assert after["n_docs_live"] == n_docs - len(deleted)
 
     mono = str(tmp_path / "monoD")
     build_index(cums[3], mono, cfg)
@@ -168,6 +171,22 @@ def test_refresh_init_twice_rejected(ray_session, tiny_corpus, tmp_path):
     r.init(waves[0])
     with pytest.raises(ValueError, match="already initialized"):
         r.init(waves[0])
+
+
+def test_refresh_uninitialized_root_clear_error(tmp_path):
+    """Every step on a root without current.json must raise the explicit
+    not-initialized ValueError (not a raw FileNotFoundError traceback) —
+    the CLI maps ValueError to a clean one-line message + exit 2."""
+    from pageindex_ray.pipelines.refresh import RefreshRunner, current_index
+
+    root = str(tmp_path / "uninit")
+    r = RefreshRunner(root)
+    for step in (r.status, r.compact, lambda: r.append("nope.parquet"),
+                 lambda: r.delete(np.asarray([1], dtype=np.int64))):
+        with pytest.raises(ValueError, match="not initialized"):
+            step()
+    with pytest.raises(ValueError, match="not initialized"):
+        current_index(root)
 
 
 def test_append_after_subthreshold_delete_compacts_first(ray_session, tiny_corpus, tmp_path):
