@@ -51,8 +51,16 @@ def _gen_name(gen: int) -> str:
     return f"gen-{gen:05d}"
 
 
-def _write_pointer(root: str, gen: int, kind: str) -> dict:
-    ptr = {"index": _gen_name(gen), "generation": gen, "kind": kind}
+def _write_pointer(root: str, gen: int, kind: str, appends_since_compact: int = 0) -> dict:
+    # appends_since_compact rides the pointer so the auto-compact-every
+    # schedule survives process boundaries — one CLI invocation per append
+    # (the normal cron shape) must still fire the Nth-append compaction
+    ptr = {
+        "index": _gen_name(gen),
+        "generation": gen,
+        "kind": kind,
+        "appends_since_compact": int(appends_since_compact),
+    }
     tmp = _pointer_path(root) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(ptr, f)
@@ -116,7 +124,6 @@ class RefreshRunner:
         # floor of 2: the pointer's previous target must survive one step so
         # in-flight readers that resolved it just before a flip finish safely
         self.keep_generations = max(2, int(keep_generations))
-        self._appends_since_compact = 0
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------ steps
@@ -152,16 +159,20 @@ class RefreshRunner:
         gen = ptr["generation"] + 1
         out = os.path.join(self.root, _gen_name(gen))
         report = append_wave(current_index(self.root), wave_path, out, cfg=self.cfg)
-        new_ptr = _write_pointer(self.root, gen, "append")
+        new_ptr = _write_pointer(
+            self.root,
+            gen,
+            "append",
+            appends_since_compact=int(ptr.get("appends_since_compact", 0)) + 1,
+        )
         shutil.rmtree(out + ".wave", ignore_errors=True)
         removed = _prune(self.root, gen, self.keep_generations)
-        self._appends_since_compact += 1
         result = {"pointer": new_ptr, "report": report, "pruned": removed}
         if result_pre is not None:
             result["pre_compaction"] = result_pre
         if (
             self.auto_compact_every
-            and self._appends_since_compact >= self.auto_compact_every
+            and new_ptr["appends_since_compact"] >= self.auto_compact_every
         ):
             result["compaction"] = self.compact()
         elif self._deleted_fraction() > self.auto_compact_deleted:
@@ -185,15 +196,20 @@ class RefreshRunner:
         from .compact import compact_index
 
         if self._deleted_fraction() == 0.0:
-            self._appends_since_compact = 0
-            return {"skipped": "no tombstones", "pointer": _load_pointer(self.root)}
+            ptr = _load_pointer(self.root)
+            if ptr.get("appends_since_compact"):
+                # reset the schedule without flipping generations: rewrite the
+                # pointer in place (same atomic replace as a flip)
+                ptr = _write_pointer(
+                    self.root, ptr["generation"], ptr["kind"], appends_since_compact=0
+                )
+            return {"skipped": "no tombstones", "pointer": ptr}
         ptr = _load_pointer(self.root)
         gen = ptr["generation"] + 1
         out = os.path.join(self.root, _gen_name(gen))
         report = compact_index(current_index(self.root), out)
         new_ptr = _write_pointer(self.root, gen, "compact")
         removed = _prune(self.root, gen, self.keep_generations)
-        self._appends_since_compact = 0
         return {"pointer": new_ptr, "report": report, "pruned": removed}
 
     # ------------------------------------------------------------ status

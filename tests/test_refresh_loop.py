@@ -173,6 +173,28 @@ def test_refresh_init_twice_rejected(ray_session, tiny_corpus, tmp_path):
         r.init(waves[0])
 
 
+def test_auto_compact_counter_survives_process_boundaries(ray_session, tiny_corpus, tmp_path):
+    """appends_since_compact is persisted in current.json, so one-append-per-
+    CLI-invocation (a fresh RefreshRunner each time — the normal cron shape)
+    still fires the Nth-append compaction; a scheduled skip (no tombstones)
+    resets the persisted counter without flipping the generation."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines.refresh import RefreshRunner, _load_pointer
+
+    waves, _ = _slices(tiny_corpus["transcripts"], tmp_path)
+    root = str(tmp_path / "rootp")
+    cfg = BuildConfig(num_partitions=4)
+    RefreshRunner(root, cfg=cfg, auto_compact_every=2).init(waves[0])
+    out1 = RefreshRunner(root, cfg=cfg, auto_compact_every=2).append(waves[1])
+    assert "compaction" not in out1
+    assert _load_pointer(root)["appends_since_compact"] == 1
+    out2 = RefreshRunner(root, cfg=cfg, auto_compact_every=2).append(waves[2])
+    assert out2["compaction"].get("skipped") == "no tombstones"
+    ptr = _load_pointer(root)
+    assert ptr["appends_since_compact"] == 0  # schedule reset by the skip
+    assert ptr["generation"] == 2  # ...without a generation flip
+
+
 def test_refresh_uninitialized_root_clear_error(tmp_path):
     """Every step on a root without current.json must raise the explicit
     not-initialized ValueError (not a raw FileNotFoundError traceback) —
