@@ -195,6 +195,55 @@ def test_auto_compact_counter_survives_process_boundaries(ray_session, tiny_corp
     assert ptr["generation"] == 2  # ...without a generation flip
 
 
+def test_append_crash_between_wave_and_merge_resumes(
+    ray_session, tiny_corpus, tmp_path, monkeypatch
+):
+    """A crash AFTER the wave build but BEFORE the merge commits must leave
+    the old generation live (pointer untouched), and the re-run append must
+    resume off the committed <out>.wave checkpoint (zero re-tokenization)
+    and produce a generation rank-identical to a monolithic rebuild."""
+    from pageindex_ray.config import BuildConfig
+    from pageindex_ray.pipelines import merge as merge_mod
+    from pageindex_ray.pipelines import refresh as refresh_mod
+    from pageindex_ray.pipelines.build import build_index
+    from pageindex_ray.pipelines.refresh import RefreshRunner, _load_pointer
+
+    waves, cums = _slices(tiny_corpus["transcripts"], tmp_path, n=2)
+    root = str(tmp_path / "rootc")
+    cfg = BuildConfig(num_partitions=4)
+    r = RefreshRunner(root, cfg=cfg)
+    r.init(waves[0])
+
+    real_merge = merge_mod.merge_indexes
+
+    def exploding_merge(index_dirs, out_dir):
+        raise RuntimeError("simulated crash between wave build and merge")
+
+    monkeypatch.setattr(merge_mod, "merge_indexes", exploding_merge)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r.append(waves[1])
+    ptr = _load_pointer(root)
+    assert ptr["generation"] == 0  # old generation still live
+    wave_dir = os.path.join(root, "gen-00001.wave")
+    assert os.path.exists(os.path.join(wave_dir, "_SUCCESS"))  # checkpoint kept
+
+    monkeypatch.setattr(merge_mod, "merge_indexes", real_merge)
+    out = r.append(waves[1])
+    assert out["pointer"]["generation"] == 1
+    # the committed wave checkpoint was reused: every partition skipped
+    wave_report = out["report"]["wave"]
+    assert wave_report["partitions_skipped"] == cfg.num_partitions
+    assert not os.path.exists(wave_dir)  # checkpoint cleaned after the flip
+
+    mono = str(tmp_path / "monoc")
+    build_index(cums[1], mono, cfg)
+    qt = pq.read_table(tiny_corpus["queries"])
+    queries = list(zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist()))
+    assert _search(refresh_mod.current_index(root), queries).equals(
+        _search(mono, queries)
+    )
+
+
 def test_refresh_uninitialized_root_clear_error(tmp_path):
     """Every step on a root without current.json must raise the explicit
     not-initialized ValueError (not a raw FileNotFoundError traceback) —
