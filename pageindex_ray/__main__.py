@@ -458,7 +458,11 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         # user-input errors (bad scale dir, uninitialized/already-initialized
         # refresh root, contract violations) get a clean one-line message
-        # instead of a traceback; unexpected failures still propagate raw
+        # instead of a traceback. json.JSONDecodeError IS a ValueError but
+        # signals corrupted index state, not bad input — propagate it raw so
+        # the operator gets the filename and stack
+        if isinstance(e, json.JSONDecodeError):
+            raise
         print(f"error: {e}", file=sys.stderr)
         return 2
     finally:

@@ -158,7 +158,11 @@ class RefreshRunner:
         ptr = _load_pointer(self.root)
         gen = ptr["generation"] + 1
         out = os.path.join(self.root, _gen_name(gen))
-        report = append_wave(current_index(self.root), wave_path, out, cfg=self.cfg)
+        # one pointer read: the generation arithmetic and the merge input must
+        # describe the same generation
+        report = append_wave(
+            os.path.join(self.root, ptr["index"]), wave_path, out, cfg=self.cfg
+        )
         new_ptr = _write_pointer(
             self.root,
             gen,
@@ -173,10 +177,14 @@ class RefreshRunner:
         if (
             self.auto_compact_every
             and new_ptr["appends_since_compact"] >= self.auto_compact_every
-        ):
-            result["compaction"] = self.compact()
-        elif self._deleted_fraction() > self.auto_compact_deleted:
-            result["compaction"] = self.compact()
+        ) or self._deleted_fraction() > self.auto_compact_deleted:
+            comp = self.compact()
+            result["compaction"] = comp
+            if comp["pointer"]["generation"] == new_ptr["generation"]:
+                # a no-tombstone SKIP rewrote the live pointer in place
+                # (counter reset, same generation) — report the rewritten
+                # pointer, not the pre-skip one
+                result["pointer"] = comp["pointer"]
         return result
 
     def delete(self, doc_ids) -> dict:

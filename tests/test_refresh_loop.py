@@ -193,6 +193,8 @@ def test_auto_compact_counter_survives_process_boundaries(ray_session, tiny_corp
     ptr = _load_pointer(root)
     assert ptr["appends_since_compact"] == 0  # schedule reset by the skip
     assert ptr["generation"] == 2  # ...without a generation flip
+    # the returned pointer reflects the post-skip rewrite, not the stale one
+    assert out2["pointer"] == ptr
 
 
 def test_append_crash_between_wave_and_merge_resumes(
