@@ -107,8 +107,8 @@ def test_cli_round3_surfaces(ray_session, tiny_corpus, tmp_path, capsys):
     assert main(["search", "--index", idx, "--query", "the", "--tree", "16,4",
                  "--where", "role=user"]) == 0
     capsys.readouterr()
-    with _pt.raises((SystemExit, ValueError)):
-        main(["search", "--index", idx, "--query", "x", "--tree", "4,3"])
+    # contract ValueErrors map to a clean message + exit 2 (not a traceback)
+    assert main(["search", "--index", idx, "--query", "x", "--tree", "4,3"]) == 2
     with _pt.raises(SystemExit):
         main(["search", "--index", idx, "--query", "x", "--tree", "16,4", "--wand"])
 
