@@ -52,16 +52,7 @@ from ..stages.postings import (
     total_tokens_from_packed,
 )
 
-def _input_files(transcripts_path) -> list[str]:
-    path = transcripts_path if isinstance(transcripts_path, str) else transcripts_path[0]
-    paths = [path] if isinstance(transcripts_path, str) else list(transcripts_path)
-    out = []
-    for p in paths:
-        if os.path.isdir(p):
-            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p)))
-        else:
-            out.append(p)
-    return out
+from ..sources.readers import input_files as _input_files
 
 
 def count_input_rows(transcripts_path) -> int:

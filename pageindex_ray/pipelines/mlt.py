@@ -41,8 +41,11 @@ RESULT_SCHEMA = pa.schema(
 
 def mlt_source_docs(tpath: str, n: int = 6) -> list[tuple[int, int]]:
     """Deterministic (query_id, source doc_id) set: n strided doc ids over
-    the corpus (doc ids are dense 0..N-1 in (conv_id, turn_idx) order)."""
-    n_docs = pq.ParquetFile(tpath).metadata.num_rows
+    the corpus (doc ids are dense 0..N-1 in (conv_id, turn_idx) order).
+    Footer-only count; handles single-file and sharded corpus layouts."""
+    from .build import count_input_rows
+
+    n_docs = count_input_rows(tpath)
     return [(j, ((j + 1) * n_docs) // (n + 1)) for j in range(n)]
 
 

@@ -62,27 +62,32 @@ def phrase_queries(tpath: str, n: int = 12) -> list[tuple[int, str]]:
     deterministically), a 2- or 3-token window starting at token 1.
     Rows with fewer than 4 tokens fall back to their first two tokens and
     rows with fewer than 2 are skipped, so every emitted phrase has at
-    least one guaranteed occurrence."""
-    pf = pq.ParquetFile(tpath)
-    n_rows = pf.metadata.num_rows
+    least one guaranteed occurrence. Works over a single parquet file OR a
+    sharded corpus directory (shards in sorted-name order = writer order,
+    so global row indexes are the same as the monolithic layout's)."""
+    from ..sources.readers import input_files
+
+    pfs = [pq.ParquetFile(f) for f in input_files(tpath)]
+    n_rows = sum(pf.metadata.num_rows for pf in pfs)
     wanted = sorted({(j * n_rows) // n for j in range(n)})
-    # map each global row index to (row group, local offset) and read ONLY
-    # those row groups — O(12 rows), not an O(corpus) text materialization
+    # map each global row index to (file, row group, local offset) and read
+    # ONLY those row groups — O(12 rows), not an O(corpus) materialization
     texts: dict[int, str] = {}
     rg_start = 0
     it = iter(wanted)
     nxt = next(it, None)
-    for rg in range(pf.metadata.num_row_groups):
-        rg_rows = pf.metadata.row_group(rg).num_rows
-        locals_ = []
-        while nxt is not None and nxt < rg_start + rg_rows:
-            locals_.append(nxt - rg_start)
-            nxt = next(it, None)
-        if locals_:
-            col = pf.read_row_group(rg, columns=["text"]).column("text")
-            for loc in locals_:
-                texts[rg_start + loc] = col[loc].as_py()
-        rg_start += rg_rows
+    for pf in pfs:
+        for rg in range(pf.metadata.num_row_groups):
+            rg_rows = pf.metadata.row_group(rg).num_rows
+            locals_ = []
+            while nxt is not None and nxt < rg_start + rg_rows:
+                locals_.append(nxt - rg_start)
+                nxt = next(it, None)
+            if locals_:
+                col = pf.read_row_group(rg, columns=["text"]).column("text")
+                for loc in locals_:
+                    texts[rg_start + loc] = col[loc].as_py()
+            rg_start += rg_rows
     out: list[tuple[int, str]] = []
     for j in range(n):
         toks = tokenize(texts[(j * n_rows) // n] or "")

@@ -15,6 +15,21 @@ import os
 import pyarrow as pa
 
 
+def input_files(path) -> list[str]:
+    """Expand a parquet path spec (file, shard directory, or list of either)
+    to the ordered flat file list — shard files in sorted-name order, which
+    is the order the corpus writer emits them, so global row indexes over
+    the concatenation are deterministic."""
+    paths = [path] if isinstance(path, str) else list(path)
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p)))
+        else:
+            out.append(p)
+    return out
+
+
 def read_parquet_clean(path, columns: list[str] | None = None, **kw):
     """ray.data.read_parquet with column pruning AND a metadata-stripped
     explicit schema derived from the first file's footer."""

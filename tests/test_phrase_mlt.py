@@ -110,6 +110,25 @@ def test_mlt_matches_duckdb_and_excludes_source(engine, built_index):
         assert sorted(g["rank"]) == list(range(len(g)))
 
 
+def test_query_derivation_handles_sharded_corpus(tiny_corpus, tmp_path):
+    """phrase_queries and mlt_source_docs must treat a sharded corpus
+    directory (sorted shard files = writer order) exactly like the
+    monolithic file — at sf>=0.1 the synthesized corpus IS a directory, and
+    both helpers crashed on it before round 5 (pq.ParquetFile on a dir)."""
+    from pageindex_ray.pipelines.mlt import mlt_source_docs
+    from pageindex_ray.pipelines.phrase import phrase_queries
+
+    t = pq.read_table(tiny_corpus["transcripts"])
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(t.slice(i * per, per), os.path.join(shard_dir, f"part-{i:03d}.parquet"))
+
+    assert phrase_queries(shard_dir) == phrase_queries(tiny_corpus["transcripts"])
+    assert mlt_source_docs(shard_dir) == mlt_source_docs(tiny_corpus["transcripts"])
+
+
 def test_phrase_candidate_guard(engine, built_index):
     """An unselective phrase must raise the broadcast-size guard, not
     silently build a huge driver-side candidate map."""
